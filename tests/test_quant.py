@@ -1,0 +1,191 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from attentiondm_tpu.quant import (
+    asymmetric_quant_params,
+    fake_quant,
+    ste_round,
+    quantize_int,
+    dequantize_int,
+    groupwise_ranges,
+    ActQuantConfig,
+    init_act_quant_state,
+    make_weight_quant_state,
+    quantize_weight_per_channel,
+    quantize_activation,
+    quantize_activation_mixture,
+    mixed_ranges,
+)
+
+
+def test_asym_params_closed_form():
+    scale, zp = asymmetric_quant_params(8, jnp.float32(-4.0), jnp.float32(6.0))
+    # scale = 255/10, zp = round(scale*min) + 128
+    assert float(scale) == pytest.approx(25.5)
+    assert float(zp) == pytest.approx(round(25.5 * -4.0) + 128)
+
+
+def test_fake_quant_roundtrip_on_grid():
+    """Values exactly on the quantization grid must be preserved."""
+    bits = 8
+    rmin, rmax = -1.0, 1.0
+    scale, zp = asymmetric_quant_params(bits, jnp.float32(rmin), jnp.float32(rmax))
+    levels = (jnp.arange(-128, 128) + zp) / scale
+    out = fake_quant(levels, bits, rmin, rmax)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(levels), atol=1e-6)
+
+
+def test_fake_quant_clamps():
+    out = fake_quant(jnp.array([100.0, -100.0]), 8, -1.0, 1.0)
+    assert float(out[0]) <= 1.0 + 0.01
+    assert float(out[1]) >= -1.0 - 0.01
+
+
+def test_fake_quant_error_bound():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1000,), minval=-1, maxval=1)
+    out = fake_quant(x, 8, -1.0, 1.0)
+    step = 2.0 / 255
+    assert float(jnp.max(jnp.abs(out - x))) <= step / 2 + 1e-6
+
+
+def test_fake_quant_per_channel():
+    x = jnp.stack([jnp.linspace(-1, 1, 64), jnp.linspace(-8, 8, 64)], axis=-1)  # [64, 2]
+    rmin = jnp.array([-1.0, -8.0])
+    rmax = jnp.array([1.0, 8.0])
+    out = fake_quant(x, 8, rmin, rmax)
+    # each channel quantized at its own range: error bounded by its own step
+    err = jnp.abs(out - x)
+    assert float(err[:, 0].max()) <= (2 / 255) / 2 + 1e-6
+    assert float(err[:, 1].max()) <= (16 / 255) / 2 + 1e-6
+
+
+def test_ste_round_gradient():
+    g = jax.grad(lambda x: ste_round(x * 3.0).sum())(jnp.array([0.2, 0.7]))
+    np.testing.assert_allclose(np.asarray(g), [3.0, 3.0])
+
+
+def test_fake_quant_gradient_is_cut_outside_range():
+    def f(x):
+        return fake_quant(x, 8, -1.0, 1.0).sum()
+
+    g = jax.grad(f)(jnp.array([0.5, 5.0, -5.0]))
+    assert float(g[0]) == pytest.approx(1.0)
+    assert float(g[1]) == pytest.approx(0.0)
+    assert float(g[2]) == pytest.approx(0.0)
+
+
+def test_int_roundtrip():
+    x = jnp.linspace(-1, 1, 17)
+    scale, zp = asymmetric_quant_params(8, jnp.float32(-1.0), jnp.float32(1.0))
+    q = quantize_int(x, scale, zp, 8)
+    assert q.dtype == jnp.int8
+    xd = dequantize_int(q, scale, zp)
+    np.testing.assert_allclose(np.asarray(xd), np.asarray(fake_quant(x, 8, -1.0, 1.0)), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# group-wise
+# ---------------------------------------------------------------------------
+
+
+def test_groupwise_snap_max():
+    x = jnp.array([0.0, 0.1, 0.45, 0.5, 0.9, 1.0])
+    snapped, gvals = groupwise_ranges(x, group_n=2, maxmin="max")
+    # buckets: [0, .5], (.5, 1]; boundary 0.5 belongs to the LATER bucket
+    assert gvals.shape == (2,)
+    # group 1 members {0, .1, .45} -> max .45 ; group 2 {\.5, .9, 1.} -> 1.0
+    np.testing.assert_allclose(np.asarray(gvals), [0.45, 1.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(snapped), [0.45, 0.45, 0.45, 1.0, 1.0, 1.0], atol=1e-6)
+
+
+def test_groupwise_snap_min():
+    x = jnp.array([-1.0, -0.9, -0.2, 0.0])
+    snapped, gvals = groupwise_ranges(x, group_n=2, maxmin="min")
+    np.testing.assert_allclose(np.asarray(gvals), [-1.0, -0.2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(snapped), [-1.0, -1.0, -0.2, -0.2], atol=1e-6)
+
+
+def test_groupwise_empty_bucket_falls_back_to_edge():
+    x = jnp.array([0.0, 0.0, 1.0, 1.0])
+    snapped, gvals = groupwise_ranges(x, group_n=4, maxmin="max")
+    # buckets 2 and 3 are empty -> upper edges 0.5 and 0.75
+    np.testing.assert_allclose(np.asarray(gvals), [0.0, 0.5, 0.75, 1.0], atol=1e-6)
+
+
+def test_groupwise_jits():
+    f = jax.jit(lambda x: groupwise_ranges(x, 8, "max"))
+    snapped, gvals = f(jax.random.normal(jax.random.PRNGKey(1), (128,)))
+    assert snapped.shape == (128,)
+    assert gvals.shape == (8,)
+
+
+# ---------------------------------------------------------------------------
+# state / apply
+# ---------------------------------------------------------------------------
+
+
+def _toy_state(S=4, C=16, G=8):
+    cfg = ActQuantConfig(a_bit=8, w_bit=8, group_num=G)
+    st = init_act_quant_state(S, C, cfg)
+    # fill plausible ranges: all groups identical [-1, 1] except group 0 [-2, 2]
+    gr = np.tile(np.array([[-1.0, 1.0]]), (S, G, 1))
+    gr[:, 0] = [-2.0, 2.0]
+    st.group_ranges = jnp.asarray(gr, jnp.float32)
+    return cfg, st
+
+
+def test_mixed_ranges_softmax_mixture():
+    cfg, st = _toy_state()
+    rmin, rmax = mixed_ranges(st, 0)
+    assert rmin.shape == (16,)
+    # uniform logits -> mixture = mean of group mins = (-2 + 7*-1)/8
+    np.testing.assert_allclose(np.asarray(rmin), np.full(16, -9 / 8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rmax), np.full(16, 9 / 8), rtol=1e-5)
+
+
+def test_quantize_activation_shapes_and_grad():
+    cfg, st = _toy_state()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    out = quantize_activation(x, st, 1, cfg.a_bit)
+    assert out.shape == x.shape
+
+    # gradient w.r.t. alpha_logits flows through the range mixture
+    def loss(logits):
+        st2 = init_act_quant_state(4, 16, cfg)
+        st2.group_ranges = st.group_ranges
+        st2.alpha_logits = logits
+        return jnp.sum(quantize_activation(x, st2, 1, cfg.a_bit) ** 2)
+
+    g = jax.grad(loss)(st.alpha_logits)
+    assert float(jnp.abs(g[1]).sum()) > 0  # step 1 logits get gradient
+    assert float(jnp.abs(g[0]).sum()) == 0  # other steps untouched
+
+
+def test_quantize_activation_mixture_matches_single_group():
+    """With logits concentrated on one group the mixture equals plain fake-quant."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 16))
+    G, C = 4, 16
+    gr = jnp.tile(jnp.array([[-1.0, 1.0]]), (G, 1)).at[2].set(jnp.array([-3.0, 3.0]))
+    logits = jnp.zeros((G, C)).at[2].set(100.0)
+    out = quantize_activation_mixture(x, gr, logits, 8)
+    expect = fake_quant(x, 8, -3.0, 3.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+def test_weight_quant_preserves_weights_at_8bit():
+    """Anti-D4 regression: quantized weights must stay close to the originals
+    (the reference's _quantize_weight zeroed them)."""
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 16, 32)) * 0.1
+    wq = make_weight_quant_state(w)
+    w8 = quantize_weight_per_channel(w, wq, 8)
+    err = jnp.abs(w8 - w) / (jnp.abs(w).max() + 1e-9)
+    assert float(err.max()) < 0.01
+    # and per-channel: a huge channel shouldn't degrade the others
+    w = w.at[..., 0].mul(100.0)
+    wq = make_weight_quant_state(w)
+    w8 = quantize_weight_per_channel(w, wq, 8)
+    rel = jnp.abs(w8[..., 1:] - w[..., 1:]).max() / jnp.abs(w[..., 1:]).max()
+    assert float(rel) < 0.01
