@@ -7,6 +7,20 @@ from .primitives import (
     lp_loss,
 )
 from .groupwise import groupwise_ranges
+from .qunet import (
+    QuantizedUNet,
+    make_bit_policy,
+    init_qunet_state,
+    make_weight_states,
+    quantize_params,
+    make_quant_conv_apply,
+)
+from .calibrate import (
+    calibrate_ranges,
+    calibrate_differentiable,
+    select_calibration_images,
+    alpha_uncertainty,
+)
 from .state import (
     ActQuantConfig,
     ActQuantState,
@@ -20,6 +34,16 @@ from .state import (
 )
 
 __all__ = [
+    "QuantizedUNet",
+    "make_bit_policy",
+    "init_qunet_state",
+    "make_weight_states",
+    "quantize_params",
+    "make_quant_conv_apply",
+    "calibrate_ranges",
+    "calibrate_differentiable",
+    "select_calibration_images",
+    "alpha_uncertainty",
     "asymmetric_quant_params",
     "ste_round",
     "fake_quant",

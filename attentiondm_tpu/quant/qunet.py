@@ -1,0 +1,176 @@
+"""Quantized UNet assembly: per-layer quant state + conv interception.
+
+This replaces the reference's `QConv2d`-substitution design (every conv
+swapped for a stateful module, utils/quant_util.py:351-401) with a functional
+one: the FP UNet graph is unchanged; a `conv_apply` interceptor looks up each
+conv's quantization state by name and runs the quantized path.
+
+Bit policy reproduces the reference's attention-aware rules
+(models/self_attention.py:24-32, 74-116):
+  - every conv defaults to (w_bit = a_bit = bitwidth, 8 groups);
+  - attention query/value/output projections keep full bitwidth;
+  - attention key projection gets max(4, bitwidth - 2);
+  - group counts are head-aligned: q/k -> 8 (one per head), v -> 4, out -> 8.
+
+Weight quantization happens ONCE, outside the sampler scan (it has no
+timestep dependence), producing a quantized param pytree — unlike the
+reference, which re-"quantized" (and, per defect D4, zeroed) the weights on
+every forward call.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.unet import UNetConfig, iter_conv_layers, conv2d
+from .state import (
+    ActQuantConfig,
+    ActQuantState,
+    WeightQuantState,
+    init_act_quant_state,
+    make_weight_quant_state,
+    quantize_weight_per_channel,
+    quantize_activation,
+    quantize_activation_mixture,
+)
+
+ATTN_PROJS = ("q", "k", "v", "proj_out")
+
+
+def make_bit_policy(cfg: UNetConfig, bitwidth: int) -> Dict[str, ActQuantConfig]:
+    """Static per-layer quantization configs, keyed by conv name."""
+    policy = {}
+    for name, _cin, _k in iter_conv_layers(cfg):
+        leaf = name.rsplit(".", 1)[-1]
+        if ".attn" in name or name.startswith("mid.attn"):
+            if leaf == "k":
+                b = max(4, bitwidth - 2)
+                policy[name] = ActQuantConfig(w_bit=b, a_bit=b, group_num=8)
+            elif leaf == "v":
+                policy[name] = ActQuantConfig(w_bit=bitwidth, a_bit=bitwidth, group_num=4)
+            else:  # q, proj_out
+                policy[name] = ActQuantConfig(w_bit=bitwidth, a_bit=bitwidth, group_num=8)
+        else:
+            policy[name] = ActQuantConfig(w_bit=bitwidth, a_bit=bitwidth, group_num=8)
+    return policy
+
+
+def init_qunet_state(
+    cfg: UNetConfig, num_steps: int, policy: Dict[str, ActQuantConfig]
+) -> Dict[str, ActQuantState]:
+    """Per-timestep activation quant state for every conv (a dict pytree)."""
+    states = {}
+    for name, cin, _k in iter_conv_layers(cfg):
+        states[name] = init_act_quant_state(num_steps, cin, policy[name])
+    return states
+
+
+def make_weight_states(params, cfg: UNetConfig) -> Dict[str, WeightQuantState]:
+    """Per-output-channel weight ranges from the (loaded) FP params."""
+    out = {}
+    for name, _cin, _k in iter_conv_layers(cfg):
+        node = params
+        for p in name.split("."):
+            node = node[int(p)] if isinstance(node, list) else node[p]
+        out[name] = make_weight_quant_state(node["kernel"])
+    return out
+
+
+def quantize_params(params, wstates: Dict[str, WeightQuantState], policy: Dict[str, ActQuantConfig], cfg: UNetConfig):
+    """One-shot per-channel weight fake-quantization of the whole param pytree."""
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    for name, _cin, _k in iter_conv_layers(cfg):
+        parts = name.split(".")
+        node = params
+        for p in parts[:-1]:
+            node = node[int(p)] if isinstance(node, list) else node[p]
+        leaf_dict = dict(node[parts[-1]])
+        leaf_dict["kernel"] = quantize_weight_per_channel(
+            leaf_dict["kernel"], wstates[name], policy[name].w_bit
+        )
+        node[parts[-1]] = leaf_dict
+    return params
+
+
+def make_quant_conv_apply(
+    qstates: Dict[str, ActQuantState],
+    policy: Dict[str, ActQuantConfig],
+    step_idx,
+    mode: str = "infer",
+    collect: dict | None = None,
+):
+    """Build the conv interceptor for `unet_apply`.
+
+    Modes:
+      infer   — per-channel fake-quant of the input using the softmax-mixed
+                group ranges at `step_idx` (reference quant_util.py:260-279).
+      mixture — differentiable-calibration path: mixes the G quantized
+                outputs with softmax(alpha_logits) (quant_util.py:207-223);
+                gradients reach the logits.
+      collect — no quantization; record per-channel input min/max into
+                `collect[name]` (the functional replacement for the
+                reference's calibration-mode stat collection).
+      off     — plain FP conv.
+    """
+
+    def conv_apply(name, x, p, *, stride=1, padding="SAME"):
+        if mode == "collect" and collect is not None:
+            axes = tuple(range(x.ndim - 1))
+            collect[name] = (x.min(axis=axes), x.max(axis=axes))
+            return conv2d(x, p, stride=stride, padding=padding)
+        if mode == "off" or name not in qstates:
+            return conv2d(x, p, stride=stride, padding=padding)
+        st = qstates[name]
+        bits = policy[name].a_bit
+        if mode == "infer":
+            xq = quantize_activation(x, st, step_idx, bits)
+        elif mode == "mixture":
+            xq = quantize_activation_mixture(
+                x, st.group_ranges[step_idx], st.alpha_logits[step_idx], bits
+            )
+        else:
+            raise ValueError(mode)
+        return conv2d(xq, p, stride=stride, padding=padding)
+
+    return conv_apply
+
+
+@dataclasses.dataclass
+class QuantizedUNet:
+    """Bundles everything needed to run the quantized model.
+
+    Static pieces (cfg, policy) are plain attributes; array state (params,
+    qstates) is passed explicitly to `apply` so it can live inside jit/scan.
+    """
+
+    cfg: UNetConfig
+    policy: Dict[str, ActQuantConfig]
+
+    @classmethod
+    def create(cls, cfg: UNetConfig, bitwidth: int) -> "QuantizedUNet":
+        return cls(cfg=cfg, policy=make_bit_policy(cfg, bitwidth))
+
+    def init_state(self, num_steps: int) -> Dict[str, ActQuantState]:
+        return init_qunet_state(self.cfg, num_steps, self.policy)
+
+    def prepare_params(self, params):
+        """Quantize weights once; returns (quantized_params, weight_states)."""
+        ws = make_weight_states(params, self.cfg)
+        return quantize_params(params, ws, self.policy, self.cfg), ws
+
+    def apply(self, qparams, qstates, x, t, step_idx, mode="infer"):
+        from ..models.unet import unet_apply
+
+        ca = make_quant_conv_apply(qstates, self.policy, step_idx, mode=mode)
+        return unet_apply(qparams, self.cfg, x, t, conv_apply=ca)
+
+    def model_fn(self, qparams, qstates, mode="infer"):
+        """Sampler-compatible `(x, t, step_idx) -> eps` closure."""
+
+        def fn(x, t, step_idx):
+            return self.apply(qparams, qstates, x, t, step_idx, mode=mode)
+
+        return fn

@@ -127,12 +127,9 @@ def quantize_activation_mixture(
     logits through the mixture weights.
     """
     sw = jax.nn.softmax(alpha_logits, axis=0)  # [G, C]
-    G = group_ranges.shape[0]
-    out = jnp.zeros_like(x)
-    for g in range(G):  # G <= 8, unrolled
-        xg = fake_quant(x, a_bit, group_ranges[g, 0], group_ranges[g, 1])
-        out = out + xg * sw[g]  # sw[g] is [C], broadcasts over trailing axis
-    return out
+    xg = jax.vmap(lambda gr: fake_quant(x, a_bit, gr[0], gr[1]))(group_ranges)  # [G, ...]
+    sw_b = sw.reshape(sw.shape[:1] + (1,) * (x.ndim - 1) + sw.shape[1:])  # [G, 1.., C]
+    return (xg * sw_b).sum(axis=0)
 
 
 # re-export for convenience

@@ -1,0 +1,198 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from attentiondm_tpu.models import UNetConfig, unet_init, unet_apply
+from attentiondm_tpu.quant import (
+    QuantizedUNet,
+    make_bit_policy,
+    calibrate_ranges,
+    calibrate_differentiable,
+    select_calibration_images,
+    alpha_uncertainty,
+)
+from attentiondm_tpu.diffusion import DiffusionSchedule, ddim_sample, make_timestep_seq
+
+TINY = dict(
+    ch=32,
+    out_ch=3,
+    ch_mult=(1, 2),
+    num_res_blocks=1,
+    attn_resolutions=(8,),
+    dropout=0.0,
+    in_channels=3,
+    resolution=16,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UNetConfig(**TINY)
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    qunet = QuantizedUNet.create(cfg, bitwidth=8)
+    return cfg, params, qunet
+
+
+def test_bit_policy_attention_rules(setup):
+    cfg, _, qunet = setup
+    pol = qunet.policy
+    # attention key projections get max(4, b-2); groups head-aligned
+    kq = [n for n in pol if n.endswith(".k") and "attn" in n]
+    assert kq
+    for n in kq:
+        assert pol[n].a_bit == 6 and pol[n].w_bit == 6
+        assert pol[n].group_num == 8
+    vq = [n for n in pol if n.endswith(".v") and "attn" in n]
+    for n in vq:
+        assert pol[n].a_bit == 8
+        assert pol[n].group_num == 4
+    # plain convs default
+    assert pol["conv_in"].a_bit == 8 and pol["conv_in"].group_num == 8
+
+
+def test_bit_policy_low_bitwidth():
+    cfg = UNetConfig(**TINY)
+    pol = make_bit_policy(cfg, 4)
+    kq = [n for n in pol if n.endswith(".k") and "attn" in n][0]
+    assert pol[kq].a_bit == 4  # max(4, 4-2) = 4 floor
+
+
+def test_prepare_params_weights_survive(setup):
+    cfg, params, qunet = setup
+    qparams, ws = qunet.prepare_params(params)
+    w0 = params["conv_in"]["kernel"]
+    w8 = qparams["conv_in"]["kernel"]
+    assert float(jnp.abs(w8 - w0).max() / jnp.abs(w0).max()) < 0.02
+    # original pytree untouched
+    assert w0 is params["conv_in"]["kernel"]
+
+
+def test_calibrate_then_infer_close_to_fp(setup):
+    """Full stage-1 calibration on a short trajectory, then quantized inference:
+    at 8 bits the quantized eps must track the FP eps closely."""
+    cfg, params, qunet = setup
+    S = 3
+    qstates = qunet.init_state(S)
+    key = jax.random.PRNGKey(1)
+    xs = jax.random.normal(key, (S, 2, 16, 16, 3))
+    seq = [0, 5, 9]
+    qstates = calibrate_ranges(qunet, params, qstates, xs, seq, first=True)
+
+    # ranges got populated
+    st = qstates["conv_in"]
+    assert float(jnp.abs(st.group_ranges).sum()) > 0
+    assert bool((st.act_min[0] <= st.act_max[0]).all())
+
+    qparams, _ = qunet.prepare_params(params)
+    x = xs[1]
+    t = jnp.full((2,), 5.0)
+    fp = unet_apply(params, cfg, x, t)
+    q = qunet.apply(qparams, qstates, x, t, jnp.asarray(1), mode="infer")
+    rel = float(jnp.abs(q - fp).mean() / (jnp.abs(fp).mean() + 1e-9))
+    assert rel < 0.35, rel
+
+
+def test_quantized_sampling_end_to_end(setup):
+    cfg, params, qunet = setup
+    T = 20
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, T)
+    seq = make_timestep_seq(T, 4, "uniform")
+    S = len(seq)
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (2, 16, 16, 3))
+
+    # teacher trajectory for calibration
+    fp_fn = lambda xt, t, i: unet_apply(params, cfg, xt, t)
+    _, traj, _ = ddim_sample(fp_fn, x, seq, sched.betas, keep_trajectory=True)
+    # model inputs at step i are x before that step: [x] + traj[:-1]
+    xs_in = jnp.concatenate([x[None], traj[:-1]], axis=0)
+
+    qstates = qunet.init_state(S)
+    qstates = calibrate_ranges(qunet, params, qstates, xs_in, seq, first=True)
+    qparams, _ = qunet.prepare_params(params)
+
+    out = ddim_sample(qunet.model_fn(qparams, qstates), x, seq, sched.betas)
+    fp_out = ddim_sample(fp_fn, x, seq, sched.betas)
+    assert bool(jnp.isfinite(out).all())
+    # 8-bit quantized trajectory should stay in the same ballpark as FP
+    rel = float(jnp.abs(out - fp_out).mean() / jnp.abs(fp_out).mean())
+    assert rel < 0.5, rel
+
+
+def test_calibrate_differentiable_moves_alphas(setup):
+    cfg, params, qunet = setup
+    T = 10
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, T)
+    seq = [0, 4, 9]
+    S = len(seq)
+    qstates = qunet.init_state(S)
+    key = jax.random.PRNGKey(3)
+    xs = jax.random.normal(key, (S, 2, 16, 16, 3))
+    qstates = calibrate_ranges(qunet, params, qstates, xs, seq, first=True)
+
+    before = qstates["mid.attn_1.q"].alpha_logits
+    qstates2, losses = calibrate_differentiable(
+        qunet,
+        params,
+        qstates,
+        jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 3)),
+        seq,
+        sched.betas,
+        key=jax.random.PRNGKey(5),
+        attention_focus=True,
+    )
+    after = qstates2["mid.attn_1.q"].alpha_logits
+    assert float(jnp.abs(after - before).max()) > 0
+    # non-attention convs untouched under attention_focus
+    np.testing.assert_array_equal(
+        np.asarray(qstates2["conv_in"].alpha_logits), np.asarray(qstates["conv_in"].alpha_logits)
+    )
+    assert all(np.isfinite(losses))
+
+
+def test_select_calibration_images_modes(setup):
+    cfg, _, qunet = setup
+    S, N = 5, 4
+    xs_full = jnp.arange((S + 1) * N, dtype=jnp.float32).reshape(S + 1, N, 1, 1, 1) * jnp.ones(
+        (1, 1, 2, 2, 3)
+    )
+    x, t, _ = select_calibration_images(xs_full, "real", num_steps=S)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xs_full[-1]))
+
+    x, t, _ = select_calibration_images(xs_full, "range", num_steps=S)
+    for i in range(N):
+        np.testing.assert_allclose(np.asarray(x[i]), np.asarray(xs_full[i, i]))
+
+    x, t, _ = select_calibration_images(
+        xs_full, "random", num_steps=S, key=jax.random.PRNGKey(0)
+    )
+    assert x.shape == (N, 2, 2, 3)
+
+    # diff mode: uncertainty peaks where alpha entropy is high
+    qstates = qunet.init_state(60)
+    # make step 40 maximally uncertain (uniform logits are already uniform:
+    # instead make all OTHER steps concentrated)
+    for n_ in qstates:
+        st = qstates[n_]
+        conc = jnp.zeros_like(st.alpha_logits).at[:, 0, :].set(50.0)
+        conc = conc.at[40].set(0.01)
+        st.alpha_logits = conc
+    x, t_sel, counts = select_calibration_images(
+        xs_full, "diff", num_steps=60, qstates=qstates, sample_weight=2.0
+    )
+    assert int(t_sel) == 40
+    assert float(counts[40]) == 1.0
+    # selecting again with a dominant count penalty moves off 40
+    x, t2, counts = select_calibration_images(
+        xs_full, "diff", num_steps=60, qstates=qstates, sample_count=counts, sample_weight=100.0
+    )
+    assert int(t2) != 40
+
+
+def test_alpha_uncertainty_shape(setup):
+    cfg, _, qunet = setup
+    qstates = qunet.init_state(7)
+    u = alpha_uncertainty(qstates, 7)
+    assert u.shape == (7,)
+    assert bool((u > 0).all())
