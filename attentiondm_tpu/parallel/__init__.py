@@ -1,0 +1,11 @@
+from .mesh import make_mesh, batch_sharding, replicated_sharding, shard_batch, replicate
+from .distributed import initialize_distributed
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+    "initialize_distributed",
+]

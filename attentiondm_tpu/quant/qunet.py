@@ -40,21 +40,31 @@ from .state import (
 ATTN_PROJS = ("q", "k", "v", "proj_out")
 
 
-def make_bit_policy(cfg: UNetConfig, bitwidth: int) -> Dict[str, ActQuantConfig]:
-    """Static per-layer quantization configs, keyed by conv name."""
+def make_bit_policy(
+    cfg: UNetConfig, bitwidth: int, a_bitwidth: int | None = None
+) -> Dict[str, ActQuantConfig]:
+    """Static per-layer quantization configs, keyed by conv name.
+
+    `bitwidth` is the weight bit-width; `a_bitwidth` the activation bit-width
+    (defaults to the same — the reference CLI has one --bitwidth knob for
+    both, but W4A8-style splits are first-class here).
+    """
+    wb = bitwidth
+    ab = bitwidth if a_bitwidth is None else a_bitwidth
     policy = {}
     for name, _cin, _k in iter_conv_layers(cfg):
         leaf = name.rsplit(".", 1)[-1]
         if ".attn" in name or name.startswith("mid.attn"):
             if leaf == "k":
-                b = max(4, bitwidth - 2)
-                policy[name] = ActQuantConfig(w_bit=b, a_bit=b, group_num=8)
+                policy[name] = ActQuantConfig(
+                    w_bit=max(4, wb - 2), a_bit=max(4, ab - 2), group_num=8
+                )
             elif leaf == "v":
-                policy[name] = ActQuantConfig(w_bit=bitwidth, a_bit=bitwidth, group_num=4)
+                policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=4)
             else:  # q, proj_out
-                policy[name] = ActQuantConfig(w_bit=bitwidth, a_bit=bitwidth, group_num=8)
+                policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=8)
         else:
-            policy[name] = ActQuantConfig(w_bit=bitwidth, a_bit=bitwidth, group_num=8)
+            policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=8)
     return policy
 
 
@@ -150,8 +160,8 @@ class QuantizedUNet:
     policy: Dict[str, ActQuantConfig]
 
     @classmethod
-    def create(cls, cfg: UNetConfig, bitwidth: int) -> "QuantizedUNet":
-        return cls(cfg=cfg, policy=make_bit_policy(cfg, bitwidth))
+    def create(cls, cfg: UNetConfig, bitwidth: int, a_bitwidth: int | None = None) -> "QuantizedUNet":
+        return cls(cfg=cfg, policy=make_bit_policy(cfg, bitwidth, a_bitwidth))
 
     def init_state(self, num_steps: int) -> Dict[str, ActQuantState]:
         return init_qunet_state(self.cfg, num_steps, self.policy)

@@ -1,0 +1,79 @@
+"""Headline benchmark: images/sec/chip, CIFAR-10 DDIM-100 at W4A8.
+
+Runs the real quantized pipeline on whatever device JAX provides (one TPU
+chip under the driver): stage-1 calibration from a small FP teacher
+trajectory, then steady-state quantized DDIM-100 sampling at batch 256.
+
+Baseline: the driver's north star is 50,000 CIFAR-10 images at W4A8 on a
+v5e-8 in <10 min => 50000 / 600 / 8 = 10.42 img/s/chip.  vs_baseline is the
+ratio of measured throughput to that target (no reference-published numbers
+exist — BASELINE.md).
+
+Prints exactly one JSON line.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from attentiondm_tpu.models import UNetConfig, unet_init, unet_apply
+from attentiondm_tpu.quant import QuantizedUNet, calibrate_ranges
+from attentiondm_tpu.diffusion import DiffusionSchedule, ddim_sample, make_timestep_seq
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 50000 / 600 / 8  # 10.42
+
+def main():
+    cfg = UNetConfig()  # CIFAR-10
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    steps = 100
+    seq = make_timestep_seq(1000, steps, "quad")
+    n_chips = max(1, len(jax.devices()))
+
+    # --- calibration (not timed): tiny FP teacher trajectory -> stage-1 ranges
+    fp_fn = lambda xt, t, i: unet_apply(params, cfg, xt, t)
+    x_small = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    _, traj, _ = jax.jit(
+        lambda x: ddim_sample(fp_fn, x, seq, sched.betas, keep_trajectory=True)
+    )(x_small)
+    xs_in = jnp.concatenate([x_small[None], traj[:-1]], axis=0)
+
+    qunet = QuantizedUNet.create(cfg, bitwidth=4, a_bitwidth=8)  # W4A8
+    qstates = qunet.init_state(steps)
+    qstates = calibrate_ranges(qunet, params, qstates, xs_in, seq, first=True)
+    qparams, _ = qunet.prepare_params(params)
+
+    # --- timed: quantized DDIM-100 sampling, batch 256
+    batch = 256
+    f = jax.jit(lambda x: ddim_sample(qunet.model_fn(qparams, qstates), x, seq, sched.betas))
+    x = jax.random.normal(jax.random.PRNGKey(2), (batch, 32, 32, 3))
+    out = jax.block_until_ready(f(x))  # compile
+    assert bool(jnp.isfinite(out).all()), "non-finite samples"
+
+    times = []
+    for i in range(3):
+        x = jax.random.normal(jax.random.PRNGKey(3 + i), (batch, 32, 32, 3))
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    img_per_sec_per_chip = batch / best / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip (CIFAR-10 DDIM-100, W4A8, batch 256)",
+                "value": round(img_per_sec_per_chip, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_sec_per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
