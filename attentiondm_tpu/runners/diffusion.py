@@ -1,0 +1,355 @@
+"""Orchestration runner: train / sample / test / calibrate.
+
+Functional counterpart of the reference `Diffusion` runner
+(runners/diffusion.py:67-509) with its defects fixed:
+- `test()` exists (D2), the calibration pipeline is complete and actually
+  invoked from `sample()` when quantization is on (the reference's
+  `calibrate_general` was missing and its sample() never calibrated at all);
+- the `--fid` bulk-generation path is implemented (D12) and device-sharded;
+- runner state (`seq`, `sample_count`, timestep selection) is explicit (D3);
+- checkpoints load by name (native .npz or converted torch .ckpt) (D6).
+"""
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import namespace2dict
+from ..diffusion import DiffusionSchedule, ddim_sample, ddpm_sample, make_timestep_seq
+from ..diffusion.losses import noise_estimation_loss
+from ..models import UNetConfig, unet_init, unet_apply
+from ..models.torch_convert import load_torch_checkpoint
+from ..parallel import make_mesh, shard_batch, replicate
+from ..quant import (
+    QuantizedUNet,
+    calibrate_ranges,
+    calibrate_differentiable,
+    select_calibration_images,
+)
+from ..training import get_optimizer, init_train_state, make_sharded_train_step
+from ..data import get_dataset, data_transform, inverse_data_transform, iterate_batches
+from ..utils import save_image, save_image_grid, MetricsLogger
+from .. import checkpoint as ckpt_io
+
+
+class Diffusion:
+    def __init__(self, args, config, device=None):
+        self.args = args
+        self.config = config
+        self.schedule = DiffusionSchedule.from_config(config)
+        self.betas = self.schedule.betas
+        self.num_timesteps = self.schedule.num_timesteps
+        self.ucfg = UNetConfig.from_config(config)
+        self.sample_count = None  # 'diff' t-mode bookkeeping (explicit, anti-D3)
+        self.timestep_select = None
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def make_seq(self):
+        return make_timestep_seq(
+            self.num_timesteps, self.args.timesteps, getattr(self.args, "skip_type", "uniform")
+        )
+
+    def _load_params(self):
+        """Load model params: native .npz, torch .ckpt/.pth, or random init."""
+        path = getattr(self.args, "ckpt_path", None)
+        if path is None:
+            log_path = getattr(self.args, "log_path", None)
+            if log_path:
+                for cand in ("ckpt.npz", "ckpt.pth", "model-790000.ckpt"):
+                    p = os.path.join(log_path, cand)
+                    if os.path.exists(p):
+                        path = p
+                        break
+        if path and os.path.exists(path):
+            logging.info(f"loading checkpoint {path}")
+            if path.endswith(".npz"):
+                like = unet_init(jax.random.PRNGKey(0), self.ucfg)
+                try:
+                    return ckpt_io.load_checkpoint(path, like)
+                except KeyError:
+                    # a training-state checkpoint: pull the EMA params
+                    state = ckpt_io.load_checkpoint(path, self._train_state_like())
+                    return state.ema if state.ema is not None else state.params
+            return load_torch_checkpoint(path, self.ucfg)
+        logging.warning("no checkpoint found — using random init (smoke mode)")
+        return unet_init(jax.random.PRNGKey(self.args.seed), self.ucfg)
+
+    def _train_state_like(self):
+        tx = get_optimizer(self.config)
+        params = unet_init(jax.random.PRNGKey(0), self.ucfg)
+        return init_train_state(params, tx, use_ema=bool(self.config.model.ema))
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def train(self):
+        args, config = self.args, self.config
+        train_ds, _ = get_dataset(args, config)
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        batch = config.training.batch_size
+        batch -= batch % n_dev or 0
+        logging.info(f"training on {n_dev} device(s), batch {batch}")
+
+        tx = get_optimizer(config)
+        params = unet_init(jax.random.PRNGKey(args.seed), self.ucfg)
+        state = init_train_state(params, tx, use_ema=bool(config.model.ema))
+
+        start_step = 0
+        ckpt_path = os.path.join(args.log_path, "ckpt.npz")
+        if args.resume_training and os.path.exists(ckpt_path):
+            state = ckpt_io.load_checkpoint(ckpt_path, state)
+            start_step = int(state.step)
+            logging.info(f"resumed from step {start_step}")
+
+        state = replicate(mesh, state)
+        step_fn = make_sharded_train_step(
+            mesh,
+            self.ucfg,
+            self.betas,
+            tx,
+            grad_clip=getattr(config.optim, "grad_clip", None),
+            ema_rate=config.model.ema_rate if config.model.ema else None,
+        )
+        logger = MetricsLogger(os.path.join(args.log_path, "train_metrics.csv"))
+
+        step = start_step
+        key = jax.random.PRNGKey(args.seed + 1)
+        rng = np.random.default_rng(args.seed)
+        for epoch in range(config.training.n_epochs):
+            t_data = time.time()
+            for x, _y in iterate_batches(train_ds, batch, seed=args.seed + epoch):
+                data_time = time.time() - t_data
+                x = data_transform(config, x, rng)
+                key, sub = jax.random.split(key)
+                state, loss = step_fn(state, shard_batch(mesh, x), replicate(mesh, sub))
+                step += 1
+                loss = float(loss)
+                logging.info(f"step: {step}, loss: {loss:.5f}, data time: {data_time:.3f}")
+                logger.log(step, loss=loss, data_s=round(data_time, 4), epoch=epoch)
+                if step % config.training.snapshot_freq == 0 or step == 1:
+                    ckpt_io.save_checkpoint(
+                        os.path.join(args.log_path, f"ckpt_{step}.npz"), state
+                    )
+                    ckpt_io.save_checkpoint(ckpt_path, state)
+                if step >= config.training.n_iters:
+                    return
+                t_data = time.time()
+
+    # ------------------------------------------------------------------
+    # calibration pipeline (3 stages; anti-D2)
+    # ------------------------------------------------------------------
+
+    def generate_calibrate_set(self, params, qunet, qstates, seq, num_calibrate_set=16):
+        """FP-teacher trajectory -> calibration images by args.calib_t_mode
+        (reference runners/diffusion.py:198-264)."""
+        args = self.args
+        t_mode = args.calib_t_mode
+        logging.info(f"creating calibration set, t_mode={t_mode}")
+        n = min(num_calibrate_set, 16)
+        key = jax.random.PRNGKey(args.seed + 77)
+        x = jax.random.normal(
+            key, (n, self.config.data.image_size, self.config.data.image_size, self.config.data.channels)
+        )
+        fp_fn = lambda xt, t, i: unet_apply(params, self.ucfg, xt, t)
+        _, traj, _ = jax.jit(
+            lambda x: ddim_sample(fp_fn, x, seq, self.betas, eta=args.eta, keep_trajectory=True)
+        )(x)
+        xs_full = jnp.concatenate([x[None], traj], axis=0)
+        imgs, t_sel, self.sample_count = select_calibration_images(
+            xs_full,
+            t_mode,
+            num_steps=len(list(seq)),
+            key=jax.random.fold_in(key, 1),
+            qstates=qstates,
+            sample_count=self.sample_count,
+            sample_weight=args.sample_weight,
+        )
+        self.timestep_select = t_sel
+        if t_sel is not None:
+            logging.info(f"active timestep selection chose step {int(t_sel)}")
+        # model inputs along the trajectory, for range calibration
+        xs_inputs = xs_full[:-1]
+        return imgs, xs_inputs
+
+    def calibrate_model(self, params, qunet, qstates, seq, first: bool = True):
+        """Stage 1 (ranges/LAPQ) + stage 2 (attention-focused differentiable)."""
+        args = self.args
+        imgs, xs_inputs = self.generate_calibrate_set(params, qunet, qstates, seq)
+        t0 = time.time()
+        qstates = calibrate_ranges(qunet, params, qstates, xs_inputs, seq, first=first)
+        logging.info(f"stage-1 range calibration done in {time.time()-t0:.1f}s")
+        if args.calibrate_attention:
+            t0 = time.time()
+            qstates, losses = calibrate_differentiable(
+                qunet,
+                params,
+                qstates,
+                imgs,
+                seq,
+                self.betas,
+                key=jax.random.PRNGKey(args.seed + 99),
+                eta=args.eta,
+                diff_loss_weight=args.diff_loss_weight,
+                attention_focus=True,
+            )
+            logging.info(
+                f"stage-2 attention calibration done in {time.time()-t0:.1f}s "
+                f"(loss {losses[0]:.1f} -> {losses[-1]:.1f})"
+            )
+        return qstates
+
+    # ------------------------------------------------------------------
+    # sampling
+    # ------------------------------------------------------------------
+
+    def _build_model_fn(self, params, seq):
+        """(model_fn, description) — quantized when --bitwidth > 0 unless --fp32."""
+        args = self.args
+        if getattr(args, "fp32", False) or args.bitwidth <= 0:
+            return (lambda xt, t, i: unet_apply(params, self.ucfg, xt, t)), "fp32"
+        qunet = QuantizedUNet.create(
+            self.ucfg, bitwidth=args.bitwidth, a_bitwidth=getattr(args, "a_bitwidth", None)
+        )
+        qstates = qunet.init_state(len(list(seq)))
+        qstates = self.calibrate_model(params, qunet, qstates, seq, first=True)
+        qparams, _ = qunet.prepare_params(params)
+        desc = f"W{args.bitwidth}A{getattr(args, 'a_bitwidth', None) or args.bitwidth}"
+        return qunet.model_fn(qparams, qstates), desc
+
+    def sample(self):
+        args, config = self.args, self.config
+        seq = self.make_seq()
+        params = self._load_params()
+        model_fn, desc = self._build_model_fn(params, seq)
+        logging.info(f"sampling with {len(list(seq))} steps, model={desc}")
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        sampler = ddpm_sample if args.sample_type == "ddpm_noisy" else ddim_sample
+
+        def sample_batch(n, key):
+            shape = (n, config.data.image_size, config.data.image_size, config.data.channels)
+            x = jax.random.normal(key, shape)
+            if sampler is ddim_sample:
+                out = jitted(shard_batch(mesh, x), key)
+            else:
+                out = jitted(shard_batch(mesh, x), key)
+            return inverse_data_transform(config, jax.device_get(out))
+
+        if sampler is ddim_sample:
+            jitted = jax.jit(lambda x, k: ddim_sample(model_fn, x, seq, self.betas, eta=args.eta, key=k))
+        else:
+            jitted = jax.jit(lambda x, k: ddpm_sample(model_fn, x, seq, self.betas, key=k))
+
+        os.makedirs(args.image_folder, exist_ok=True)
+        key = jax.random.PRNGKey(args.seed)
+
+        if args.fid:
+            total = args.num_samples if args.num_samples else 50000
+            batch = getattr(config.sampling, "batch_size", 256)
+            batch = max(n_dev, batch - batch % n_dev)
+            img_id = len(glob.glob(os.path.join(args.image_folder, "*.png")))
+            done = 0
+            t0 = time.time()
+            while done < total:
+                n = min(batch, total - done)
+                n = max(n_dev, n - n % n_dev)
+                key, sub = jax.random.split(key)
+                imgs = sample_batch(n, sub)
+                for i in range(imgs.shape[0]):
+                    save_image(imgs[i], os.path.join(args.image_folder, f"{img_id}.png"))
+                    img_id += 1
+                done += n
+                rate = done / (time.time() - t0)
+                logging.info(f"{done}/{total} images ({rate:.1f} img/s, {rate/n_dev:.1f} img/s/chip)")
+            return
+
+        if args.interpolation:
+            self._interpolation(model_fn, seq, key)
+            return
+
+        n = args.num_samples or 64
+        key, sub = jax.random.split(key)
+        if args.sequence:
+            shape = (n, config.data.image_size, config.data.image_size, config.data.channels)
+            x = jax.random.normal(sub, shape)
+            _, traj, _ = jax.jit(
+                lambda x: ddim_sample(model_fn, x, seq, self.betas, eta=args.eta, keep_trajectory=True)
+            )(x)
+            traj = jax.device_get(traj)
+            stride = max(1, traj.shape[0] // 10)
+            for s in range(0, traj.shape[0], stride):
+                save_image_grid(
+                    inverse_data_transform(config, traj[s]),
+                    os.path.join(args.image_folder, f"seq_step{s}.png"),
+                )
+        imgs = sample_batch(max(n_dev, n - n % n_dev), sub)
+        for i in range(imgs.shape[0]):
+            save_image(imgs[i], os.path.join(args.image_folder, f"sample_{i}.png"))
+        save_image_grid(imgs, os.path.join(args.image_folder, "grid.png"))
+        logging.info(f"saved {imgs.shape[0]} samples to {args.image_folder}")
+
+    def _interpolation(self, model_fn, seq, key):
+        """Spherical interpolation in noise space (implements the --interpolation
+        flag the reference parsed but never implemented, D12)."""
+        args, config = self.args, self.config
+        k1, k2 = jax.random.split(key)
+        shape = (1, config.data.image_size, config.data.image_size, config.data.channels)
+        z1 = jax.random.normal(k1, shape)
+        z2 = jax.random.normal(k2, shape)
+        alphas = np.linspace(0.0, 1.0, 11, dtype=np.float32)
+        theta = jnp.arccos(
+            jnp.clip((z1 * z2).sum() / (jnp.linalg.norm(z1) * jnp.linalg.norm(z2)), -1, 1)
+        )
+        zs = jnp.concatenate(
+            [
+                (jnp.sin((1 - a) * theta) * z1 + jnp.sin(a * theta) * z2) / jnp.sin(theta)
+                for a in alphas
+            ]
+        )
+        out = jax.jit(lambda x: ddim_sample(model_fn, x, seq, self.betas, eta=args.eta))(zs)
+        imgs = inverse_data_transform(config, jax.device_get(out))
+        save_image_grid(imgs, os.path.join(args.image_folder, "interpolation.png"), nrow=len(alphas))
+        logging.info(f"saved interpolation grid to {args.image_folder}")
+
+    # ------------------------------------------------------------------
+    # evaluation (anti-D2: --test works)
+    # ------------------------------------------------------------------
+
+    def test(self):
+        args, config = self.args, self.config
+        _, test_ds = get_dataset(args, config)
+        params = self._load_params()
+        batch = min(getattr(config.sampling, "batch_size", 64), 64)
+        key = jax.random.PRNGKey(args.seed)
+
+        @jax.jit
+        def eval_loss(x0, t, e):
+            loss, _ = noise_estimation_loss(
+                lambda x, tt: unet_apply(params, self.ucfg, x, tt), x0, t, e, self.betas
+            )
+            return loss
+
+        losses = []
+        for i, (x, _y) in enumerate(iterate_batches(test_ds, batch, shuffle=False)):
+            x = data_transform(config, x)
+            key, kt, ke = jax.random.split(key, 3)
+            t = jax.random.randint(kt, (x.shape[0],), 0, self.num_timesteps)
+            e = jax.random.normal(ke, x.shape)
+            losses.append(float(eval_loss(jnp.asarray(x), t, e)))
+            if i >= 10:
+                break
+        avg = float(np.mean(losses))
+        logging.info(f"test eps-MSE (sum over pixels): {avg:.4f} over {len(losses)} batches")
+        return avg

@@ -1,0 +1,138 @@
+"""CLI entry point — same flag surface as the reference main.py:17-121, plus
+the knobs its shell scripts assumed but never defined (--batch_size, D12's
+--num_samples) and TPU-era extras (--a_bitwidth, --fp32, --ckpt_path).
+
+Dispatch: --sample -> runner.sample(); --test -> runner.test(); else train.
+"""
+import argparse
+import logging
+import os
+import shutil
+import sys
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from attentiondm_tpu.config import load_config, namespace2dict
+
+
+def parse_args_and_config():
+    parser = argparse.ArgumentParser(description=globals()["__doc__"])
+    parser.add_argument("--config", type=str, required=True, help="Path to the config file")
+    parser.add_argument("--seed", type=int, default=1234, help="Random seed")
+    parser.add_argument("--exp", type=str, default="exp", help="Path for saving running related data.")
+    parser.add_argument("--doc", type=str, required=True, help="Name of the log folder.")
+    parser.add_argument("--comment", type=str, default="", help="Experiment comment")
+    parser.add_argument("--verbose", type=str, default="info", help="info | debug | warning | critical")
+    parser.add_argument("--test", action="store_true", help="Whether to test the model")
+    parser.add_argument("--sample", action="store_true", help="Produce samples from the model")
+    parser.add_argument("--fid", action="store_true", help="Bulk generation for FID (50k default)")
+    parser.add_argument("--interpolation", action="store_true")
+    parser.add_argument("--resume_training", action="store_true")
+    parser.add_argument("-i", "--image_folder", type=str, default="images", help="Folder name for samples")
+    parser.add_argument("--ni", action="store_true", help="No interaction (Slurm-friendly)")
+    parser.add_argument("--use_pretrained", action="store_true")
+    parser.add_argument("--sample_type", type=str, default="generalized", help="generalized | ddpm_noisy")
+    parser.add_argument("--skip_type", type=str, default="uniform", help="uniform | quad")
+    parser.add_argument("--timesteps", type=int, default=1000, help="number of sampler steps")
+    parser.add_argument("--eta", type=float, default=0.0, help="DDIM eta")
+    parser.add_argument("--calibrate_attention", action="store_true",
+                        help="Run stage-2 attention-focused calibration")
+    parser.add_argument("--attention_loss_weight", type=float, default=0.5)
+    parser.add_argument("--calib_t_mode", default="real", type=str,
+                        choices=["real", "range", "diff", "random"])
+    parser.add_argument("--sequence", action="store_true")
+    parser.add_argument("--dist_url", default="env://", help="distributed init url (JAX auto-detects)")
+    parser.add_argument("--bitwidth", type=int, default=8, help="weight/activation bitwidth")
+    parser.add_argument("--a_bitwidth", type=int, default=None, help="activation bitwidth override (e.g. W4A8)")
+    parser.add_argument("--fp32", action="store_true", help="disable quantization")
+    parser.add_argument("--normgroup", type=bool, default=False)
+    parser.add_argument("--diff_loss_weight", type=float, default=1.0)
+    parser.add_argument("--sample_weight", type=float, default=2.0,
+                        help="'diff' t-mode sample-count penalty")
+    parser.add_argument("--num_samples", type=int, default=None,
+                        help="images to generate (default 64; 50000 with --fid)")
+    parser.add_argument("--batch_size", type=int, default=None, help="override sampling batch size")
+    parser.add_argument("--ckpt_path", type=str, default=None,
+                        help="checkpoint to load (.npz native or torch .ckpt/.pth)")
+
+    args = parser.parse_args()
+    args.log_path = os.path.join(args.exp, "logs", args.doc)
+
+    config = load_config(args.config)
+    if args.batch_size:
+        config.sampling.batch_size = args.batch_size
+
+    level = getattr(logging, args.verbose.upper(), None)
+    if not isinstance(level, int):
+        raise ValueError(f"level {args.verbose} not supported")
+
+    handlers = [logging.StreamHandler()]
+    if not args.test and not args.sample:
+        if not args.resume_training:
+            if os.path.exists(args.log_path):
+                if args.ni or input("Folder already exists. Overwrite? (Y/N)").upper() == "Y":
+                    shutil.rmtree(args.log_path)
+                else:
+                    print("Folder exists. Program halted.")
+                    sys.exit(0)
+            os.makedirs(args.log_path, exist_ok=True)
+            import yaml
+
+            with open(os.path.join(args.log_path, "config.yml"), "w") as f:
+                yaml.dump(namespace2dict(config), f, default_flow_style=False)
+        else:
+            os.makedirs(args.log_path, exist_ok=True)
+        handlers.append(logging.FileHandler(os.path.join(args.log_path, "stdout.txt")))
+    elif args.sample:
+        os.makedirs(os.path.join(args.exp, "image_samples"), exist_ok=True)
+        args.image_folder = os.path.join(args.exp, "image_samples", args.image_folder)
+        if os.path.exists(args.image_folder) and not (args.fid or args.interpolation):
+            if args.ni or input(
+                f"Image folder {args.image_folder} already exists. Overwrite? (Y/N)"
+            ).upper() == "Y":
+                shutil.rmtree(args.image_folder)
+            else:
+                print("Output image folder exists. Program halted.")
+                sys.exit(0)
+        os.makedirs(args.image_folder, exist_ok=True)
+
+    fmt = logging.Formatter("%(levelname)s - %(filename)s - %(asctime)s - %(message)s")
+    logger = logging.getLogger()
+    for h in handlers:
+        h.setFormatter(fmt)
+        logger.addHandler(h)
+    logger.setLevel(level)
+
+    np.random.seed(args.seed)
+    return args, config
+
+
+def main():
+    args, config = parse_args_and_config()
+    logging.info(f"Writing log file to {args.log_path}")
+    logging.info(f"Exp instance id = {os.getpid()}")
+    logging.info(f"Exp comment = {args.comment}")
+
+    from attentiondm_tpu.parallel import initialize_distributed
+    from attentiondm_tpu.runners import Diffusion
+
+    initialize_distributed()
+    try:
+        runner = Diffusion(args, config)
+        if args.sample:
+            runner.sample()
+        elif args.test:
+            runner.test()
+        else:
+            runner.train()
+    except Exception:
+        logging.error(traceback.format_exc())
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
