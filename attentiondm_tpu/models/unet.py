@@ -42,6 +42,11 @@ class UNetConfig:
     dropout: float = 0.1
     resamp_with_conv: bool = True
     resolution: int = 32
+    # attention block flavor: "ddim" (checkpoint-faithful single-head) or
+    # "enhanced" (multi-head, per-projection bit-widths, gamma residual —
+    # the reference's EnhancedQSelfAttention, self_attention.py:7-153)
+    attn_variant: str = "ddim"
+    attn_heads: int = 8
 
     @classmethod
     def from_config(cls, config) -> "UNetConfig":
@@ -111,17 +116,22 @@ def dense(x, p):
 
 
 def group_norm(x, p, num_groups: int = 32, eps: float = 1e-6):
-    """GroupNorm over channel-last tensors (matches torch GroupNorm(32, C, eps=1e-6))."""
+    """GroupNorm over channel-last tensors (matches torch GroupNorm(32, C, eps=1e-6)).
+
+    Statistics are always computed in float32 (bf16 variance underflows);
+    output keeps the input dtype.
+    """
+    dtype = x.dtype
     N = x.shape[0]
     C = x.shape[-1]
     spatial = x.shape[1:-1]
     g = min(num_groups, C)
-    xg = x.reshape(N, -1, g, C // g)
+    xg = x.astype(jnp.float32).reshape(N, -1, g, C // g)
     mean = xg.mean(axis=(1, 3), keepdims=True)
     var = xg.var(axis=(1, 3), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     x = xg.reshape(N, *spatial, C)
-    return x * p["scale"] + p["bias"]
+    return (x * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -170,8 +180,18 @@ def _init_resblock(key, cin, cout, temb_ch, conv_shortcut=False):
     return p
 
 
-def _init_attn(key, c):
+def _init_attn(key, c, variant="ddim"):
     ks = jax.random.split(key, 4)
+    if variant == "enhanced":
+        ck = c // 8  # key_channels = in_channels // 8 (self_attention.py:17)
+        return {
+            "query_conv": _init_conv(ks[0], 1, 1, c, ck),
+            "key_conv": _init_conv(ks[1], 1, 1, c, ck),
+            "value_conv": _init_conv(ks[2], 1, 1, c, c),
+            "output_conv": _init_conv(ks[3], 1, 1, c, c),
+            "gamma": jnp.zeros((1,)),
+            "temperature": jnp.ones((1,)),
+        }
     return {
         "norm": _init_norm(c),
         "q": _init_conv(ks[0], 1, 1, c, c),
@@ -205,7 +225,7 @@ def unet_init(key: jax.Array, cfg: UNetConfig) -> Params:
             blocks.append(_init_resblock(next(keys), block_in, block_out, cfg.temb_ch))
             block_in = block_out
             if curr_res in cfg.attn_resolutions:
-                attns.append(_init_attn(next(keys), block_in))
+                attns.append(_init_attn(next(keys), block_in, cfg.attn_variant))
         level: dict = {"block": blocks, "attn": attns}
         if i_level != num_levels - 1:
             if cfg.resamp_with_conv:
@@ -218,7 +238,7 @@ def unet_init(key: jax.Array, cfg: UNetConfig) -> Params:
 
     params["mid"] = {
         "block_1": _init_resblock(next(keys), block_in, block_in, cfg.temb_ch),
-        "attn_1": _init_attn(next(keys), block_in),
+        "attn_1": _init_attn(next(keys), block_in, cfg.attn_variant),
         "block_2": _init_resblock(next(keys), block_in, block_in, cfg.temb_ch),
     }
 
@@ -233,7 +253,7 @@ def unet_init(key: jax.Array, cfg: UNetConfig) -> Params:
             blocks.append(_init_resblock(next(keys), block_in + skip_in, block_out, cfg.temb_ch))
             block_in = block_out
             if curr_res in cfg.attn_resolutions:
-                attns.append(_init_attn(next(keys), block_in))
+                attns.append(_init_attn(next(keys), block_in, cfg.attn_variant))
         level = {"block": blocks, "attn": attns}
         if i_level != 0:
             if cfg.resamp_with_conv:
@@ -258,7 +278,7 @@ def _default_conv_apply(name, x, p, *, stride=1, padding="SAME"):
     return conv2d(x, p, stride=stride, padding=padding)
 
 
-def _resblock_apply(name, p, x, temb, conv_apply, dropout_rate, rng, train):
+def _resblock_apply(name, p, x, temb, conv_apply, dropout_rate, rng, train, gates=None):
     h = group_norm(x, p["norm1"])
     h = swish(h)
     h = conv_apply(f"{name}.conv1", h, p["conv1"])
@@ -274,10 +294,68 @@ def _resblock_apply(name, p, x, temb, conv_apply, dropout_rate, rng, train):
         x = conv_apply(f"{name}.conv_shortcut", x, p["conv_shortcut"])
     elif "nin_shortcut" in p:
         x = conv_apply(f"{name}.nin_shortcut", x, p["nin_shortcut"])
+    if gates is not None and "resblock" in gates:
+        h = h * gates["resblock"]
     return x + h
 
 
-def _attn_apply(name, p, x, conv_apply):
+def _attn_apply(name, p, x, conv_apply, cfg=None, attn_ctx=None, gates=None):
+    """Dispatch to the configured attention flavor.  `gates` optionally
+    scales the attention residual branch (differentiable architecture-
+    importance search, reference ablation_study.py:18-68)."""
+    if cfg is not None and cfg.attn_variant == "enhanced":
+        out = _attn_apply_enhanced(name, p, x, conv_apply, cfg, attn_ctx)
+    else:
+        out = _attn_apply_ddim(name, p, x, conv_apply)
+    if gates is not None and "attention" in gates:
+        out = x + gates["attention"] * (out - x)
+    return out
+
+
+def _attn_apply_enhanced(name, p, x, conv_apply, cfg, attn_ctx=None):
+    """EnhancedQSelfAttention (reference self_attention.py:118-153): 1x1-conv
+    q/k/v/out projections with key_channels = C//8, learnable gamma residual;
+    optional mixed-precision attention core (`attn_ctx` supplies per-layer
+    MPAttentionState + the scalar diffusion timestep).
+
+    The reference declares a `temperature` parameter it never uses in the
+    standard path — kept (and likewise unused) for state parity.
+    """
+    B, H, W, C = x.shape
+    q = conv_apply(f"{name}.query_conv", x, p["query_conv"])
+    k = conv_apply(f"{name}.key_conv", x, p["key_conv"])
+    v = conv_apply(f"{name}.value_conv", x, p["value_conv"])
+    Ck = q.shape[-1]
+    q = q.reshape(B, H * W, Ck)
+    k = k.reshape(B, H * W, Ck).transpose(0, 2, 1)  # [B, Ck, HW]
+    v = v.reshape(B, H * W, C)
+    collect = (attn_ctx or {}).get("collect")
+    if collect is not None:
+        lg = jnp.einsum("blc,bcm->blm", q, k, preferred_element_type=jnp.float32) * (Ck ** -0.5)
+        collect[name] = (lg.min(), lg.max())
+    mp_state = (attn_ctx or {}).get("mp_states", {}).get(name)
+    if mp_state is not None:
+        from ..quant.attention_mp import mp_attention
+
+        out = mp_attention(
+            q,
+            k,
+            v,
+            mp_state,
+            num_heads=cfg.attn_heads,
+            base_bits=attn_ctx.get("base_bits", 8),
+            timestep=attn_ctx.get("timestep"),
+        )
+    else:
+        w = jnp.einsum("blc,bcm->blm", q, k, preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(w * (Ck ** -0.5), axis=-1).astype(x.dtype)
+        out = jnp.einsum("blm,bmc->blc", w, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(B, H, W, C)
+    out = conv_apply(f"{name}.output_conv", out, p["output_conv"])
+    return p["gamma"].astype(x.dtype) * out + x
+
+
+def _attn_apply_ddim(name, p, x, conv_apply):
     """Single-head attention block (DDPM AttnBlock): softmax(q k^T / sqrt(C)) v."""
     B, H, W, C = x.shape
     h = group_norm(x, p["norm"])
@@ -303,8 +381,8 @@ def _downsample(name, p, x, with_conv, conv_apply):
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         return conv_apply(f"{name}.conv", x, p["conv"], stride=2, padding="VALID")
     return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    ) / 4.0
+        x, jnp.asarray(0.0, x.dtype), jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / jnp.asarray(4.0, x.dtype)
 
 
 def _upsample(name, p, x, with_conv, conv_apply):
@@ -324,17 +402,30 @@ def unet_apply(
     conv_apply: Callable | None = None,
     train: bool = False,
     rng: jax.Array | None = None,
+    compute_dtype=None,
+    attn_ctx: dict | None = None,
+    gates: dict | None = None,
 ) -> jax.Array:
-    """Forward pass: predict eps from (x_t [NHWC], t [N]).
+    """Forward pass: predict eps from (x_t [NHWC], t [N]).  Returns float32.
 
     `conv_apply(name, x, p, stride=, padding=)` is the chokepoint every conv
     routes through; the quantized model passes an interceptor that looks up
     per-layer quant state by `name` and runs the fake-quant / int8 path.
+
+    `compute_dtype` (e.g. jnp.bfloat16) runs the network with that activation
+    dtype — halves HBM traffic, which is the bottleneck for these UNets on
+    TPU.  Params must be pre-cast (see `cast_params`); norm statistics and
+    attention softmax stay in float32.
     """
     ca = conv_apply or _default_conv_apply
     num_levels = len(cfg.ch_mult)
 
     temb = get_timestep_embedding(t, cfg.ch)
+    if gates is not None and "temb" in gates:
+        temb = temb * gates["temb"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        temb = temb.astype(compute_dtype)
     temb = dense(temb, params["temb"]["dense0"])
     temb = swish(temb)
     temb = dense(temb, params["temb"]["dense1"])
@@ -358,9 +449,10 @@ def unet_apply(
                 cfg.dropout,
                 next_rng(),
                 train,
+                gates,
             )
             if lp["attn"]:
-                h = _attn_apply(f"down.{i_level}.attn.{i_block}", lp["attn"][i_block], h, ca)
+                h = _attn_apply(f"down.{i_level}.attn.{i_block}", lp["attn"][i_block], h, ca, cfg, attn_ctx, gates)
             hs.append(h)
         if i_level != num_levels - 1:
             hs.append(
@@ -372,9 +464,9 @@ def unet_apply(
 
     # mid
     h = hs[-1]
-    h = _resblock_apply("mid.block_1", params["mid"]["block_1"], h, temb, ca, cfg.dropout, next_rng(), train)
-    h = _attn_apply("mid.attn_1", params["mid"]["attn_1"], h, ca)
-    h = _resblock_apply("mid.block_2", params["mid"]["block_2"], h, temb, ca, cfg.dropout, next_rng(), train)
+    h = _resblock_apply("mid.block_1", params["mid"]["block_1"], h, temb, ca, cfg.dropout, next_rng(), train, gates)
+    h = _attn_apply("mid.attn_1", params["mid"]["attn_1"], h, ca, cfg, attn_ctx, gates)
+    h = _resblock_apply("mid.block_2", params["mid"]["block_2"], h, temb, ca, cfg.dropout, next_rng(), train, gates)
 
     # up
     for i_level in reversed(range(num_levels)):
@@ -389,9 +481,10 @@ def unet_apply(
                 cfg.dropout,
                 next_rng(),
                 train,
+                gates,
             )
             if lp["attn"]:
-                h = _attn_apply(f"up.{i_level}.attn.{i_block}", lp["attn"][i_block], h, ca)
+                h = _attn_apply(f"up.{i_level}.attn.{i_block}", lp["attn"][i_block], h, ca, cfg, attn_ctx, gates)
         if i_level != 0:
             h = _upsample(f"up.{i_level}.upsample", lp.get("upsample", {}), h, cfg.resamp_with_conv, ca)
     assert not hs
@@ -399,7 +492,12 @@ def unet_apply(
     h = group_norm(h, params["norm_out"])
     h = swish(h)
     h = ca("conv_out", h, params["conv_out"])
-    return h
+    return h.astype(jnp.float32)
+
+
+def cast_params(params: Params, dtype) -> Params:
+    """Cast every param leaf to `dtype` (for compute_dtype runs)."""
+    return jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
 
 
 def count_params(params: Params) -> int:
@@ -414,9 +512,18 @@ def iter_conv_layers(cfg: UNetConfig):
     in_ch_mult = (1,) + tuple(cfg.ch_mult)
     curr_res = cfg.resolution
 
+    def attn_projs(prefix, c):
+        if cfg.attn_variant == "enhanced":
+            yield (f"{prefix}.query_conv", c, 1)
+            yield (f"{prefix}.key_conv", c, 1)
+            yield (f"{prefix}.value_conv", c, 1)
+            yield (f"{prefix}.output_conv", c, 1)
+        else:
+            for proj in ("q", "k", "v", "proj_out"):
+                yield (f"{prefix}.{proj}", c, 1)
+
     yield ("conv_in", cfg.in_channels, 3)
     block_in = cfg.ch
-    attn_levels_down = []
     for i_level in range(num_levels):
         block_in = cfg.ch * in_ch_mult[i_level]
         block_out = cfg.ch * cfg.ch_mult[i_level]
@@ -427,8 +534,7 @@ def iter_conv_layers(cfg: UNetConfig):
                 yield (f"down.{i_level}.block.{i_block}.nin_shortcut", block_in, 1)
             block_in = block_out
             if curr_res in cfg.attn_resolutions:
-                for proj in ("q", "k", "v", "proj_out"):
-                    yield (f"down.{i_level}.attn.{i_block}.{proj}", block_in, 1)
+                yield from attn_projs(f"down.{i_level}.attn.{i_block}", block_in)
         if i_level != num_levels - 1:
             if cfg.resamp_with_conv:
                 yield (f"down.{i_level}.downsample.conv", block_in, 3)
@@ -436,8 +542,7 @@ def iter_conv_layers(cfg: UNetConfig):
 
     yield ("mid.block_1.conv1", block_in, 3)
     yield ("mid.block_1.conv2", block_in, 3)
-    for proj in ("q", "k", "v", "proj_out"):
-        yield (f"mid.attn_1.{proj}", block_in, 1)
+    yield from attn_projs("mid.attn_1", block_in)
     yield ("mid.block_2.conv1", block_in, 3)
     yield ("mid.block_2.conv2", block_in, 3)
 
@@ -453,8 +558,7 @@ def iter_conv_layers(cfg: UNetConfig):
                 yield (f"up.{i_level}.block.{i_block}.nin_shortcut", block_in + skip_in, 1)
             block_in = block_out
             if curr_res in cfg.attn_resolutions:
-                for proj in ("q", "k", "v", "proj_out"):
-                    yield (f"up.{i_level}.attn.{i_block}.{proj}", block_in, 1)
+                yield from attn_projs(f"up.{i_level}.attn.{i_block}", block_in)
         if i_level != 0:
             if cfg.resamp_with_conv:
                 yield (f"up.{i_level}.upsample.conv", block_in, 3)

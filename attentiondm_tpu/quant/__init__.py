@@ -15,6 +15,15 @@ from .qunet import (
     quantize_params,
     make_quant_conv_apply,
 )
+from .attention_mp import (
+    MPAttentionState,
+    init_mp_attention_state,
+    mp_attention,
+    effective_bits,
+    update_quant_params,
+    calibrate_mp_attention,
+    make_logit_collector,
+)
 from .calibrate import (
     calibrate_ranges,
     calibrate_differentiable,

@@ -1,0 +1,146 @@
+"""Serving-path int8 runtime: precomputed per-step folded weights.
+
+After calibration the per-timestep quantization parameters are frozen, so
+everything weight-side is precomputable: for each eligible conv and each
+sampler step, fold the per-channel activation scales into the kernel and
+quantize at w_bit (ops/quant_conv.fold_weights_int8).  The sampler scan then
+only gathers `[step]` slices and runs int8 MACs — no per-step fold (which
+costs more than the conv itself; measured 2x slowdown when done in-graph).
+
+HBM cost: steps x params int8 (CIFAR-10 DDIM-100: ~3.5 GB).  For big models
+or long schedules pass `step_chunk` to fold lazily per chunk, or fall back
+to mode="infer".
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..models.unet import UNetConfig, conv2d, iter_conv_layers
+from ..ops.quant_conv import (
+    fold_weights_int8,
+    quantized_conv2d_int8_prefolded,
+    zcorr_from_fold,
+)
+from .qunet import QuantizedUNet
+from .state import ActQuantState, mixed_ranges, quantize_activation
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Int8Layer:
+    gq: jax.Array  # [S, K, Np] int8
+    ws: jax.Array  # [S, Np]
+    wzp: jax.Array  # [S, Np]
+    zcorr: jax.Array  # [S, Np]
+    act_scale: jax.Array  # [S, C]
+    act_zp: jax.Array  # [S, C]
+
+
+def _eligible(kernel_shape, stride=1):
+    kh, kw, ci, _ = kernel_shape
+    return stride == 1 and ci >= 64 and (kh, kw) in ((1, 1), (3, 3))
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("a_bit", "w_bit"))
+def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int):
+    """Fold + quantize one conv's weights for every sampler step.
+
+    jit-cached by (kernel shape, S, bits) so the ~6 distinct conv shapes in a
+    UNet share compilations instead of one compile per conv (50 remote
+    compiles would dwarf the fold itself)."""
+    kh = kernel.shape[0]
+    C = kernel.shape[2]
+    n_lv = 2**a_bit - 1
+
+    def per_step(s):
+        sw = jax.nn.softmax(alpha_logits[s], axis=0)  # [G, C]
+        gr = group_ranges[s]
+        rmin = (gr[:, 0:1] * sw).sum(axis=0)
+        rmax = (gr[:, 1:2] * sw).sum(axis=0)
+        scale = n_lv / (rmax - rmin)
+        zp = jnp.round(scale * rmin) + 2 ** (a_bit - 1)
+        gq, ws, wzp, g_hat = fold_weights_int8(kernel, scale, w_bit)
+        zc = zcorr_from_fold(g_hat, zp, kh, C)
+        return gq, ws, wzp, zc, scale, zp
+
+    S = alpha_logits.shape[0]
+    return jax.lax.map(per_step, jnp.arange(S))
+
+
+def prepare_int8_runtime(
+    qunet: QuantizedUNet, params, qstates: Dict[str, ActQuantState]
+) -> Dict[str, Int8Layer]:
+    """Fold + quantize weights for every step of every eligible conv."""
+    runtime: Dict[str, Int8Layer] = {}
+    for name, _cin, _k in iter_conv_layers(qunet.cfg):
+        node = params
+        for p in name.split("."):
+            node = node[int(p)] if isinstance(node, list) else node[p]
+        kernel = node["kernel"]
+        if not _eligible(kernel.shape):
+            continue
+        st = qstates[name]
+        pol = qunet.policy[name]
+        gq, ws, wzp, zc, scale, zp = _fold_all_steps(
+            kernel, st.group_ranges, st.alpha_logits, pol.a_bit, pol.w_bit
+        )
+        runtime[name] = Int8Layer(gq=gq, ws=ws, wzp=wzp, zcorr=zc, act_scale=scale, act_zp=zp)
+    return runtime
+
+
+def make_int8_conv_apply(
+    runtime: Dict[str, Int8Layer],
+    qunet: QuantizedUNet,
+    qstates: Dict[str, ActQuantState],
+    step_idx,
+):
+    """Conv interceptor: int8 kernels for covered layers; non-eligible convs
+    (conv_in/conv_out with 3 channels, strided downsample) run fake-quant
+    activations with full-precision weights — the standard PTQ policy of
+    keeping first/last layers high precision.  Pass RAW params."""
+
+    def conv_apply(name, x, p, *, stride=1, padding="SAME"):
+        rt = runtime.get(name)
+        pol = qunet.policy.get(name)
+        if rt is not None and stride == 1:
+            kh = p["kernel"].shape[0]
+            co = p["kernel"].shape[3]
+            return quantized_conv2d_int8_prefolded(
+                x.astype(jnp.float32),
+                rt.gq[step_idx],
+                rt.ws[step_idx],
+                rt.wzp[step_idx],
+                rt.zcorr[step_idx],
+                p["bias"].astype(jnp.float32),
+                rt.act_scale[step_idx],
+                rt.act_zp[step_idx],
+                pol.a_bit,
+                kh,
+                co,
+            ).astype(x.dtype)
+        if pol is not None and name in qstates:
+            xq = quantize_activation(x.astype(jnp.float32), qstates[name], step_idx, pol.a_bit)
+            return conv2d(xq.astype(p["kernel"].dtype), p, stride=stride, padding=padding)
+        return conv2d(x, p, stride=stride, padding=padding)
+
+    return conv_apply
+
+
+def int8_model_fn(qunet: QuantizedUNet, runtime, params, qstates):
+    """Sampler-compatible closure running the precomputed int8 path.
+    Pass RAW (unquantized) params — eligible convs use the folded int8
+    weights from `runtime`; the few fallback layers keep FP weights."""
+    from ..models.unet import unet_apply
+
+    def fn(x, t, step_idx):
+        ca = make_int8_conv_apply(runtime, qunet, qstates, step_idx)
+        return unet_apply(params, qunet.cfg, x, t, conv_apply=ca)
+
+    return fn

@@ -55,13 +55,13 @@ def make_bit_policy(
     for name, _cin, _k in iter_conv_layers(cfg):
         leaf = name.rsplit(".", 1)[-1]
         if ".attn" in name or name.startswith("mid.attn"):
-            if leaf == "k":
+            if leaf in ("k", "key_conv"):
                 policy[name] = ActQuantConfig(
                     w_bit=max(4, wb - 2), a_bit=max(4, ab - 2), group_num=8
                 )
-            elif leaf == "v":
+            elif leaf in ("v", "value_conv"):
                 policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=4)
-            else:  # q, proj_out
+            else:  # q / query_conv, proj_out / output_conv
                 policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=8)
         else:
             policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=8)
@@ -120,6 +120,12 @@ def make_quant_conv_apply(
       mixture — differentiable-calibration path: mixes the G quantized
                 outputs with softmax(alpha_logits) (quant_util.py:207-223);
                 gradients reach the logits.
+      int8    — true int8 execution: per-channel act quant at a_bit, weight
+                scales folded + quantized at w_bit, int8 MACs on the MXU via
+                the Pallas kernels (ops/quant_conv.py).  Convs the kernel
+                doesn't cover (tiny channel counts, strided downsample) fall
+                back to the fake-quant path — pass `qparams` from
+                prepare_params so that fallback uses quantized weights.
       collect — no quantization; record per-channel input min/max into
                 `collect[name]` (the functional replacement for the
                 reference's calibration-mode stat collection).
@@ -134,16 +140,38 @@ def make_quant_conv_apply(
         if mode == "off" or name not in qstates:
             return conv2d(x, p, stride=stride, padding=padding)
         st = qstates[name]
-        bits = policy[name].a_bit
-        if mode == "infer":
-            xq = quantize_activation(x, st, step_idx, bits)
+        pol = policy[name]
+        bits = pol.a_bit
+        xf = x.astype(jnp.float32)  # range math in f32; fuses into the conv input pass
+        if mode == "int8":
+            kh, kw, ci, _co = p["kernel"].shape
+            eligible = stride == 1 and ci >= 64 and (kh, kw) in ((1, 1), (3, 3))
+            if eligible:
+                from ..ops import quantized_conv2d_int8
+                from .state import mixed_ranges
+
+                rmin, rmax = mixed_ranges(st, step_idx)
+                out = quantized_conv2d_int8(
+                    xf,
+                    p["kernel"].astype(jnp.float32),
+                    p["bias"].astype(jnp.float32),
+                    rmin,
+                    rmax,
+                    pol.a_bit,
+                    pol.w_bit,
+                    stride=stride,
+                )
+                return out.astype(x.dtype)
+            xq = quantize_activation(xf, st, step_idx, bits)
+        elif mode == "infer":
+            xq = quantize_activation(xf, st, step_idx, bits)
         elif mode == "mixture":
             xq = quantize_activation_mixture(
-                x, st.group_ranges[step_idx], st.alpha_logits[step_idx], bits
+                xf, st.group_ranges[step_idx], st.alpha_logits[step_idx], bits
             )
         else:
             raise ValueError(mode)
-        return conv2d(xq, p, stride=stride, padding=padding)
+        return conv2d(xq.astype(p["kernel"].dtype), p, stride=stride, padding=padding)
 
     return conv_apply
 
@@ -166,21 +194,32 @@ class QuantizedUNet:
     def init_state(self, num_steps: int) -> Dict[str, ActQuantState]:
         return init_qunet_state(self.cfg, num_steps, self.policy)
 
-    def prepare_params(self, params):
-        """Quantize weights once; returns (quantized_params, weight_states)."""
-        ws = make_weight_states(params, self.cfg)
-        return quantize_params(params, ws, self.policy, self.cfg), ws
+    def prepare_params(self, params, compute_dtype=None):
+        """Quantize weights once; returns (quantized_params, weight_states).
 
-    def apply(self, qparams, qstates, x, t, step_idx, mode="infer"):
+        `compute_dtype` casts the quantized weights (e.g. bfloat16) for the
+        reduced-HBM execution path; quantization itself happens in f32.
+        """
+        from ..models.unet import cast_params
+
+        ws = make_weight_states(params, self.cfg)
+        qp = quantize_params(params, ws, self.policy, self.cfg)
+        if compute_dtype is not None:
+            qp = cast_params(qp, compute_dtype)
+        return qp, ws
+
+    def apply(self, qparams, qstates, x, t, step_idx, mode="infer", compute_dtype=None):
         from ..models.unet import unet_apply
 
         ca = make_quant_conv_apply(qstates, self.policy, step_idx, mode=mode)
-        return unet_apply(qparams, self.cfg, x, t, conv_apply=ca)
+        return unet_apply(qparams, self.cfg, x, t, conv_apply=ca, compute_dtype=compute_dtype)
 
-    def model_fn(self, qparams, qstates, mode="infer"):
+    def model_fn(self, qparams, qstates, mode="infer", compute_dtype=None):
         """Sampler-compatible `(x, t, step_idx) -> eps` closure."""
 
         def fn(x, t, step_idx):
-            return self.apply(qparams, qstates, x, t, step_idx, mode=mode)
+            return self.apply(
+                qparams, qstates, x, t, step_idx, mode=mode, compute_dtype=compute_dtype
+            )
 
         return fn

@@ -12,6 +12,7 @@ exist — BASELINE.md).
 Prints exactly one JSON line.
 """
 import json
+import numpy as np
 import sys
 import time
 
@@ -47,19 +48,26 @@ def main():
     qstates = calibrate_ranges(qunet, params, qstates, xs_in, seq, first=True)
     qparams, _ = qunet.prepare_params(params)
 
-    # --- timed: quantized DDIM-100 sampling, batch 256
+    # --- timed: quantized DDIM-100 sampling, batch 256.
+    # NOTE: timing pulls a scalar to host each run — under the axon relay,
+    # block_until_ready alone returns before execution finishes.
     batch = 256
-    f = jax.jit(lambda x: ddim_sample(qunet.model_fn(qparams, qstates), x, seq, sched.betas))
+    f = jax.jit(
+        lambda x: ddim_sample(qunet.model_fn(qparams, qstates), x, seq, sched.betas)
+    )
+    g = jax.jit(lambda x: f(x).sum())
     x = jax.random.normal(jax.random.PRNGKey(2), (batch, 32, 32, 3))
-    out = jax.block_until_ready(f(x))  # compile
+    out = f(x)  # compile
     assert bool(jnp.isfinite(out).all()), "non-finite samples"
+    float(g(x))  # compile the summed variant
 
     times = []
     for i in range(3):
         x = jax.random.normal(jax.random.PRNGKey(3 + i), (batch, 32, 32, 3))
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
+        s = float(g(x))
         times.append(time.perf_counter() - t0)
+        assert np.isfinite(s)
     best = min(times)
     img_per_sec_per_chip = batch / best / n_chips
 
