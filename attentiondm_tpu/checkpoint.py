@@ -62,7 +62,10 @@ def load_checkpoint(path: str, like):
         if isinstance(node, (list, tuple)):
             n = int(flat[key + "/__len__"])
             out = [walk(node[i] if i < len(node) else None, path_ + [str(i)]) for i in range(n)]
-            return type(node)(out) if isinstance(node, tuple) else out
+            if isinstance(node, tuple):
+                # namedtuples (e.g. optax states) take positional args
+                return type(node)(*out) if hasattr(node, "_fields") else type(node)(out)
+            return out
         if node is None:
             return None
         if hasattr(node, "__dataclass_fields__"):

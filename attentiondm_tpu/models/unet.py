@@ -365,9 +365,11 @@ def _attn_apply_ddim(name, p, x, conv_apply):
     q = q.reshape(B, H * W, C)
     k = k.reshape(B, H * W, C)
     v = v.reshape(B, H * W, C)
-    w = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) * (C ** -0.5)
-    w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
-    h = jnp.einsum("bqk,bkc->bqc", w, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    # short maps (16x16 at the reference resolutions) take a fused dense
+    # softmax; long maps stream through the blockwise Pallas kernel
+    from ..ops.attention import spatial_attention
+
+    h = spatial_attention(q, k, v, scale=C ** -0.5).astype(x.dtype)
     h = h.reshape(B, H, W, C)
     h = conv_apply(f"{name}.proj_out", h, p["proj_out"])
     return x + h

@@ -314,6 +314,9 @@ def select_calibration_images(
         return x, None, sample_count
     if t_mode == "diff":
         assert qstates is not None
+        # the reference hard-restricts to t >= 30 (runners/diffusion.py:242),
+        # which assumes >30 sampler steps; clamp for shorter schedules
+        min_t = max(0, min(min_t, num_steps - 1))
         if sample_count is None:
             sample_count = jnp.zeros((num_steps,))
         u = alpha_uncertainty(qstates, num_steps) - sample_weight * sample_count

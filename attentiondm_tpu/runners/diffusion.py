@@ -58,9 +58,26 @@ class Diffusion:
             self.num_timesteps, self.args.timesteps, getattr(self.args, "skip_type", "uniform")
         )
 
+    def _pretrained_name(self):
+        """Registry key for --use_pretrained, per dataset (EMA variants for
+        CelebA-style configs follow the reference's states[-1] EMA choice)."""
+        d = self.config.data
+        name = d.dataset.upper()
+        if name == "CIFAR10":
+            return "ema_cifar10" if self.config.model.ema else "cifar10"
+        if name == "LSUN":
+            cat = getattr(d, "category", "bedroom")
+            key = {"church_outdoor": "lsun_church", "bedroom": "lsun_bedroom", "cat": "lsun_cat"}[cat]
+            return ("ema_" + key) if self.config.model.ema else key
+        raise KeyError(f"no pretrained checkpoint registered for dataset {d.dataset}")
+
     def _load_params(self):
         """Load model params: native .npz, torch .ckpt/.pth, or random init."""
         path = getattr(self.args, "ckpt_path", None)
+        if path is None and getattr(self.args, "use_pretrained", False):
+            from ..pretrained import get_ckpt_path
+
+            path = get_ckpt_path(self._pretrained_name())
         if path is None:
             log_path = getattr(self.args, "log_path", None)
             if log_path:
@@ -215,17 +232,29 @@ class Diffusion:
 
     def _build_model_fn(self, params, seq):
         """(model_fn, description) — quantized when --bitwidth > 0 unless --fp32."""
+        import jax.numpy as jnp
+
         args = self.args
+        cd = jnp.bfloat16 if getattr(args, "compute_dtype", "float32") == "bfloat16" else None
         if getattr(args, "fp32", False) or args.bitwidth <= 0:
-            return (lambda xt, t, i: unet_apply(params, self.ucfg, xt, t)), "fp32"
+            p = params
+            if cd is not None:
+                from ..models.unet import cast_params
+
+                p = cast_params(params, cd)
+            return (
+                lambda xt, t, i: unet_apply(p, self.ucfg, xt, t, compute_dtype=cd)
+            ), ("fp32" if cd is None else "fp-bf16")
         qunet = QuantizedUNet.create(
             self.ucfg, bitwidth=args.bitwidth, a_bitwidth=getattr(args, "a_bitwidth", None)
         )
         qstates = qunet.init_state(len(list(seq)))
         qstates = self.calibrate_model(params, qunet, qstates, seq, first=True)
-        qparams, _ = qunet.prepare_params(params)
+        qparams, _ = qunet.prepare_params(params, compute_dtype=cd)
         desc = f"W{args.bitwidth}A{getattr(args, 'a_bitwidth', None) or args.bitwidth}"
-        return qunet.model_fn(qparams, qstates), desc
+        if cd is not None:
+            desc += "/bf16"
+        return qunet.model_fn(qparams, qstates, compute_dtype=cd), desc
 
     def sample(self):
         args, config = self.args, self.config
@@ -256,23 +285,30 @@ class Diffusion:
         key = jax.random.PRNGKey(args.seed)
 
         if args.fid:
+            from ..native import write_png_batch
+
             total = args.num_samples if args.num_samples else 50000
             batch = getattr(config.sampling, "batch_size", 256)
             batch = max(n_dev, batch - batch % n_dev)
+            # deterministic resumability: keys derive from the batch INDEX, so
+            # an interrupted run restarted over the same folder continues the
+            # exact same image stream (counted from existing PNGs)
             img_id = len(glob.glob(os.path.join(args.image_folder, "*.png")))
-            done = 0
+            start = img_id
+            if start:
+                logging.info(f"resuming: {start} images already in {args.image_folder}")
             t0 = time.time()
-            while done < total:
-                n = min(batch, total - done)
+            while img_id < total:
+                n = min(batch, total - img_id)
                 n = max(n_dev, n - n % n_dev)
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(key, img_id // batch)
                 imgs = sample_batch(n, sub)
-                for i in range(imgs.shape[0]):
-                    save_image(imgs[i], os.path.join(args.image_folder, f"{img_id}.png"))
-                    img_id += 1
-                done += n
-                rate = done / (time.time() - t0)
-                logging.info(f"{done}/{total} images ({rate:.1f} img/s, {rate/n_dev:.1f} img/s/chip)")
+                # multithreaded C++ PNG encode (PIL fallback inside)
+                img_id += write_png_batch(imgs, args.image_folder, img_id)
+                rate = (img_id - start) / max(1e-9, time.time() - t0)
+                logging.info(
+                    f"{img_id}/{total} images ({rate:.1f} img/s, {rate/n_dev:.1f} img/s/chip)"
+                )
             return
 
         if args.interpolation:
@@ -331,7 +367,7 @@ class Diffusion:
         args, config = self.args, self.config
         _, test_ds = get_dataset(args, config)
         params = self._load_params()
-        batch = min(getattr(config.sampling, "batch_size", 64), 64)
+        batch = max(1, min(getattr(config.sampling, "batch_size", 64), 64, len(test_ds)))
         key = jax.random.PRNGKey(args.seed)
 
         @jax.jit

@@ -48,6 +48,9 @@ def parse_args_and_config():
     parser.add_argument("--bitwidth", type=int, default=8, help="weight/activation bitwidth")
     parser.add_argument("--a_bitwidth", type=int, default=None, help="activation bitwidth override (e.g. W4A8)")
     parser.add_argument("--fp32", action="store_true", help="disable quantization")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="activation dtype for the sampling forward pass")
     parser.add_argument("--normgroup", type=bool, default=False)
     parser.add_argument("--diff_loss_weight", type=float, default=1.0)
     parser.add_argument("--sample_weight", type=float, default=2.0,

@@ -1,0 +1,150 @@
+"""Runner-level integration tests (CPU, synthetic data, tiny model)."""
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from attentiondm_tpu.config import dict2namespace
+from attentiondm_tpu.runners import Diffusion
+
+
+def tiny_config(tmp, n_timesteps=20):
+    return dict2namespace(
+        {
+            "data": {
+                "dataset": "SYNTHETIC",
+                "image_size": 16,
+                "channels": 3,
+                "rescaled": True,
+                "num_synthetic": 32,
+            },
+            "model": {
+                "type": "simple",
+                "in_channels": 3,
+                "out_ch": 3,
+                "ch": 32,
+                "ch_mult": [1, 2],
+                "num_res_blocks": 1,
+                "attn_resolutions": [8],
+                "dropout": 0.0,
+                "var_type": "fixedlarge",
+                "ema_rate": 0.999,
+                "ema": True,
+                "resamp_with_conv": True,
+            },
+            "diffusion": {
+                "beta_schedule": "linear",
+                "beta_start": 1e-4,
+                "beta_end": 0.02,
+                "num_diffusion_timesteps": n_timesteps,
+            },
+            "training": {
+                "batch_size": 8,
+                "n_epochs": 1,
+                "n_iters": 3,
+                "snapshot_freq": 2,
+                "validation_freq": 100,
+            },
+            "sampling": {"batch_size": 8, "last_only": True},
+            "optim": {
+                "weight_decay": 0.0,
+                "optimizer": "Adam",
+                "lr": 2e-4,
+                "beta1": 0.9,
+                "amsgrad": False,
+                "eps": 1e-8,
+                "grad_clip": 1.0,
+            },
+        }
+    )
+
+
+def make_args(tmp, **kw):
+    d = dict(
+        seed=1234,
+        exp=str(tmp),
+        doc="t",
+        log_path=os.path.join(str(tmp), "logs", "t"),
+        image_folder=os.path.join(str(tmp), "images"),
+        timesteps=4,
+        skip_type="uniform",
+        eta=0.0,
+        sample_type="generalized",
+        fid=False,
+        interpolation=False,
+        sequence=False,
+        resume_training=False,
+        use_pretrained=False,
+        bitwidth=8,
+        a_bitwidth=None,
+        fp32=False,
+        calibrate_attention=False,
+        calib_t_mode="real",
+        diff_loss_weight=1.0,
+        sample_weight=2.0,
+        attention_loss_weight=0.5,
+        num_samples=4,
+        ckpt_path=None,
+    )
+    d.update(kw)
+    os.makedirs(d["log_path"], exist_ok=True)
+    return argparse.Namespace(**d)
+
+
+def test_train_snapshots_and_resume(tmp_path):
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path)
+    runner = Diffusion(args, config)
+    runner.train()
+    assert os.path.exists(os.path.join(args.log_path, "ckpt.npz"))
+    assert os.path.exists(os.path.join(args.log_path, "train_metrics.csv"))
+
+    # resume continues from the saved step
+    args2 = make_args(tmp_path, resume_training=True)
+    config.training.n_iters = 5
+    runner2 = Diffusion(args2, config)
+    runner2.train()
+    from attentiondm_tpu import checkpoint as ckpt_io
+
+    state = ckpt_io.load_checkpoint(
+        os.path.join(args.log_path, "ckpt.npz"), runner2._train_state_like()
+    )
+    assert int(state.step) >= 4
+
+
+def test_sample_fp32_writes_images(tmp_path):
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path, fp32=True)
+    Diffusion(args, config).sample()
+    files = os.listdir(args.image_folder)
+    assert "grid.png" in files
+    assert sum(f.startswith("sample_") for f in files) >= 4
+
+
+def test_sample_quantized_with_diff_tmode(tmp_path):
+    """Quantized path incl. 'diff' active timestep selection + attention calib."""
+    config = tiny_config(tmp_path)
+    args = make_args(
+        tmp_path, bitwidth=8, calib_t_mode="diff", calibrate_attention=True, timesteps=3
+    )
+    runner = Diffusion(args, config)
+    runner.sample()
+    assert runner.timestep_select is not None
+    assert runner.sample_count is not None and float(np.asarray(runner.sample_count).sum()) == 1
+    assert os.path.exists(os.path.join(args.image_folder, "grid.png"))
+
+
+def test_fid_path_writes_numbered_pngs(tmp_path):
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path, fp32=True, fid=True, num_samples=6)
+    Diffusion(args, config).sample()
+    files = sorted(os.listdir(args.image_folder))
+    assert len([f for f in files if f.endswith(".png")]) >= 6
+
+
+def test_test_method_returns_finite_loss(tmp_path):
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path)
+    loss = Diffusion(args, config).test()
+    assert np.isfinite(loss)
