@@ -230,23 +230,33 @@ class Diffusion:
     # sampling
     # ------------------------------------------------------------------
 
-    def _build_model_fn(self, params, seq):
-        """(model_fn, description) — quantized when --bitwidth > 0 unless --fp32."""
+    def _build_model(self, params, seq):
+        """Build (apply, state, description).
+
+        `apply(state, x, t, step_idx) -> eps` is a pure function and `state`
+        is the weight/quant pytree — passed through jit as an ARGUMENT, never
+        a closure constant (closure params get baked into the HLO as
+        literals, which blows up compile payloads: the CelebA graph exceeded
+        this image's remote-compile size limit that way).
+        """
         import jax.numpy as jnp
 
         args = self.args
         cd = jnp.bfloat16 if getattr(args, "compute_dtype", "float32") == "bfloat16" else None
+        ucfg = self.ucfg
         if getattr(args, "fp32", False) or args.bitwidth <= 0:
             p = params
             if cd is not None:
                 from ..models.unet import cast_params
 
                 p = cast_params(params, cd)
-            return (
-                lambda xt, t, i: unet_apply(p, self.ucfg, xt, t, compute_dtype=cd)
-            ), ("fp32" if cd is None else "fp-bf16")
+
+            def apply(state, xt, t, i):
+                return unet_apply(state, ucfg, xt, t, compute_dtype=cd)
+
+            return apply, p, ("fp32" if cd is None else "fp-bf16")
         qunet = QuantizedUNet.create(
-            self.ucfg, bitwidth=args.bitwidth, a_bitwidth=getattr(args, "a_bitwidth", None)
+            ucfg, bitwidth=args.bitwidth, a_bitwidth=getattr(args, "a_bitwidth", None)
         )
         qstates = qunet.init_state(len(list(seq)))
         qstates = self.calibrate_model(params, qunet, qstates, seq, first=True)
@@ -254,32 +264,45 @@ class Diffusion:
         desc = f"W{args.bitwidth}A{getattr(args, 'a_bitwidth', None) or args.bitwidth}"
         if cd is not None:
             desc += "/bf16"
-        return qunet.model_fn(qparams, qstates, compute_dtype=cd), desc
+
+        def apply(state, xt, t, i):
+            qp, qs = state
+            return qunet.apply(qp, qs, xt, t, i, compute_dtype=cd)
+
+        return apply, (qparams, qstates), desc
 
     def sample(self):
         args, config = self.args, self.config
         seq = self.make_seq()
         params = self._load_params()
-        model_fn, desc = self._build_model_fn(params, seq)
+        apply, mstate, desc = self._build_model(params, seq)
         logging.info(f"sampling with {len(list(seq))} steps, model={desc}")
 
         mesh = make_mesh()
         n_dev = mesh.devices.size
-        sampler = ddpm_sample if args.sample_type == "ddpm_noisy" else ddim_sample
+        use_ddpm = args.sample_type == "ddpm_noisy"
+
+        if use_ddpm:
+            jitted = jax.jit(
+                lambda st, x, k: ddpm_sample(
+                    lambda xt, t, i: apply(st, xt, t, i), x, seq, self.betas, key=k
+                )
+            )
+        else:
+            jitted = jax.jit(
+                lambda st, x, k: ddim_sample(
+                    lambda xt, t, i: apply(st, xt, t, i), x, seq, self.betas, eta=args.eta, key=k
+                )
+            )
 
         def sample_batch(n, key):
             shape = (n, config.data.image_size, config.data.image_size, config.data.channels)
             x = jax.random.normal(key, shape)
-            if sampler is ddim_sample:
-                out = jitted(shard_batch(mesh, x), key)
-            else:
-                out = jitted(shard_batch(mesh, x), key)
+            out = jitted(mstate, shard_batch(mesh, x), key)
             return inverse_data_transform(config, jax.device_get(out))
 
-        if sampler is ddim_sample:
-            jitted = jax.jit(lambda x, k: ddim_sample(model_fn, x, seq, self.betas, eta=args.eta, key=k))
-        else:
-            jitted = jax.jit(lambda x, k: ddpm_sample(model_fn, x, seq, self.betas, key=k))
+        # keep a plain (x,t,i) closure for the interpolation/sequence paths
+        model_fn = lambda xt, t, i: apply(mstate, xt, t, i)
 
         os.makedirs(args.image_folder, exist_ok=True)
         key = jax.random.PRNGKey(args.seed)

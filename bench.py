@@ -52,20 +52,28 @@ def main():
     # NOTE: timing pulls a scalar to host each run — under the axon relay,
     # block_until_ready alone returns before execution finishes.
     batch = 256
+
+    def apply(state, xt, t, i):
+        qp, qs = state
+        return qunet.apply(qp, qs, xt, t, i)
+
+    mstate = (qparams, qstates)
+    # state passes through jit as an ARGUMENT (closure constants inflate the
+    # compile payload past this image's remote-compile limits)
     f = jax.jit(
-        lambda x: ddim_sample(qunet.model_fn(qparams, qstates), x, seq, sched.betas)
+        lambda st, x: ddim_sample(lambda xt, t, i: apply(st, xt, t, i), x, seq, sched.betas)
     )
-    g = jax.jit(lambda x: f(x).sum())
+    g = jax.jit(lambda st, x: f(st, x).sum())
     x = jax.random.normal(jax.random.PRNGKey(2), (batch, 32, 32, 3))
-    out = f(x)  # compile
+    out = f(mstate, x)  # compile
     assert bool(jnp.isfinite(out).all()), "non-finite samples"
-    float(g(x))  # compile the summed variant
+    float(g(mstate, x))  # compile the summed variant
 
     times = []
     for i in range(3):
         x = jax.random.normal(jax.random.PRNGKey(3 + i), (batch, 32, 32, 3))
         t0 = time.perf_counter()
-        s = float(g(x))
+        s = float(g(mstate, x))
         times.append(time.perf_counter() - t0)
         assert np.isfinite(s)
     best = min(times)
