@@ -115,19 +115,19 @@ def convert_ddim_state_dict(state_dict: Mapping[str, "np.ndarray"], cfg: UNetCon
     return params
 
 
-def load_torch_checkpoint(path: str, cfg: UNetConfig):
+def load_torch_checkpoint(path: str, cfg: UNetConfig, ema: bool = False):
     """Load a .ckpt/.pth file saved by torch and convert.
 
     Handles both a bare state dict and the reference's training-states list
-    `[model_sd, optim_sd, epoch, step, (ema_sd)]` (runners/diffusion.py:177-191)
-    — pass `ema=True` via the list tail convention by selecting states[-1] when
-    it is a dict of tensors (the reference does this for CelebA, :374-375).
+    `[model_sd, optim_sd, epoch, step, (ema_sd)]` (runners/diffusion.py:177-191);
+    `ema=True` selects states[-1] — the reference does this for CelebA
+    (runners/diffusion.py:374-375).
     """
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, (list, tuple)):
-        obj = obj[0]
+        obj = obj[-1] if ema else obj[0]
     if not isinstance(obj, Mapping):
         raise TypeError(f"unsupported checkpoint object: {type(obj)}")
     # strip DataParallel "module." prefixes

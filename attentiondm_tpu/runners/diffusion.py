@@ -96,7 +96,10 @@ class Diffusion:
                     # a training-state checkpoint: pull the EMA params
                     state = ckpt_io.load_checkpoint(path, self._train_state_like())
                     return state.ema if state.ema is not None else state.params
-            return load_torch_checkpoint(path, self.ucfg)
+            # CelebA-style training checkpoints carry EMA weights in the list
+            # tail; select them as the reference does (runners/diffusion.py:374)
+            ema = self.config.data.dataset.upper() == "CELEBA" and bool(self.config.model.ema)
+            return load_torch_checkpoint(path, self.ucfg, ema=ema)
         logging.warning("no checkpoint found — using random init (smoke mode)")
         return unet_init(jax.random.PRNGKey(self.args.seed), self.ucfg)
 
