@@ -9,7 +9,6 @@ For the published torch DDIM checkpoints use
 from __future__ import annotations
 
 import os
-import re
 
 import jax
 import numpy as np

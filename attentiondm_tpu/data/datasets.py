@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Sequence
 
 import numpy as np
 

@@ -1,7 +1,6 @@
 """Training / calibration losses.  Reference: functions/losses.py:4-20."""
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -26,7 +26,6 @@ VMEM.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -149,9 +148,14 @@ def _conv3x3_int8_dot(xq_padded, wq, H, W, C, N, block_b=None, interpret=None):
 # ---------------------------------------------------------------------------
 
 
-def fold_weights_int8(kernel: jax.Array, act_scale: jax.Array, w_bit: int):
+def fold_weights_int8(kernel: jax.Array, act_scale: jax.Array, w_bit: int, symmetric: bool = False):
     """Fold per-input-channel activation scales into the HWIO kernel and
     quantize per output channel at w_bit.
+
+    `symmetric=True` uses zero-point-free (signed symmetric) weight
+    quantization: wzp == 0 removes the rowsum term from the int8 epilogue
+    entirely (one fewer reduction + elementwise pass per conv per step) at a
+    sub-half-bit range cost on near-symmetric conv weights.
 
     Returns (gq int8 [kh*kw*Cp, Np], ws [Np], wzp [Np], zcorr-ready g_hat
     [kh*kw*Cp, Np] f32) with K and N zero-padded to multiples of 128.
@@ -159,12 +163,17 @@ def fold_weights_int8(kernel: jax.Array, act_scale: jax.Array, w_bit: int):
     kh, kw, ci, co = kernel.shape
     g = kernel / act_scale.reshape(1, 1, ci, 1)
     axes = (0, 1, 2)
-    g_min = jnp.minimum(g.min(axis=axes), 0.0)
-    g_max = jnp.maximum(g.max(axis=axes), 1e-8)
-    n_lv = 2**w_bit - 1
-    ws = n_lv / (g_max - g_min)  # [co]
-    wzp = jnp.round(ws * g_min) + 2 ** (w_bit - 1)
     n = 2 ** (w_bit - 1)
+    if symmetric:
+        g_absmax = jnp.maximum(jnp.abs(g).max(axis=axes), 1e-8)
+        ws = (n - 1) / g_absmax  # [co]
+        wzp = jnp.zeros_like(ws)
+    else:
+        g_min = jnp.minimum(g.min(axis=axes), 0.0)
+        g_max = jnp.maximum(g.max(axis=axes), 1e-8)
+        n_lv = 2**w_bit - 1
+        ws = n_lv / (g_max - g_min)  # [co]
+        wzp = jnp.round(ws * g_min) + 2 ** (w_bit - 1)
     gq = jnp.clip(jnp.round(ws * g - wzp), -n, n - 1)
     g_hat = (gq + wzp) / ws
 
@@ -196,12 +205,14 @@ def quantized_conv2d_int8_prefolded(
     ksize: int,
     co: int,
     *,
+    symmetric: bool = False,
     interpret: bool | None = None,
 ):
     """int8 conv with weights already folded+quantized (the sampler-scan path:
     all per-step weight tensors are precomputed outside the scan and gathered
     by step index — the fold must NOT run per step, it costs more than the
-    conv itself)."""
+    conv itself).  With `symmetric=True` (wzp == 0) the rowsum reduction and
+    its epilogue term are skipped."""
     B, H, W, C = x.shape
     n = 2 ** (a_bit - 1)
     Np = gq.shape[1]
@@ -228,19 +239,24 @@ def quantized_conv2d_int8_prefolded(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         ).reshape(rows, Np)
-        chan_sum = xq.astype(jnp.int32).sum(axis=-1)
-        box = jax.lax.reduce_window(chan_sum, 0, jax.lax.add, (1, 3, 3), (1, 1, 1), "VALID")
-        rowsum = box.reshape(rows)
     else:
         xq2 = xq.reshape(rows, Cp)
         dot = jax.lax.dot_general(
             xq2, gq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
-        rowsum = xq2.astype(jnp.int32).sum(axis=-1)
 
-    out = (dot.astype(jnp.float32) + wzp[None, :] * rowsum[:, None].astype(jnp.float32)) / ws[
-        None, :
-    ] + zcorr[None, :]
+    if symmetric:
+        out = dot.astype(jnp.float32) / ws[None, :] + zcorr[None, :]
+    else:
+        if ksize == 3:
+            chan_sum = xq.astype(jnp.int32).sum(axis=-1)
+            box = jax.lax.reduce_window(chan_sum, 0, jax.lax.add, (1, 3, 3), (1, 1, 1), "VALID")
+            rowsum = box.reshape(rows)
+        else:
+            rowsum = xq.reshape(rows, Cp).astype(jnp.int32).sum(axis=-1)
+        out = (
+            dot.astype(jnp.float32) + wzp[None, :] * rowsum[:, None].astype(jnp.float32)
+        ) / ws[None, :] + zcorr[None, :]
     return out.reshape(B, H, W, Np)[..., :co] + bias
 
 

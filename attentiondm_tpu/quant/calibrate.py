@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.unet import UNetConfig, unet_apply, conv2d
+from ..models.unet import unet_apply, conv2d
 from ..diffusion.sampling import _seq_alphas, ddim_step
 from .groupwise import groupwise_ranges
 from .primitives import lp_loss

@@ -19,14 +19,14 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ..models.unet import UNetConfig, conv2d, iter_conv_layers
+from ..models.unet import conv2d, iter_conv_layers
 from ..ops.quant_conv import (
     fold_weights_int8,
     quantized_conv2d_int8_prefolded,
     zcorr_from_fold,
 )
 from .qunet import QuantizedUNet
-from .state import ActQuantState, mixed_ranges, quantize_activation
+from .state import ActQuantState, quantize_activation
 
 
 @jax.tree_util.register_dataclass
@@ -48,8 +48,8 @@ def _eligible(kernel_shape, stride=1):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("a_bit", "w_bit"))
-def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int):
+@functools.partial(jax.jit, static_argnames=("a_bit", "w_bit", "symmetric"))
+def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int, symmetric: bool = True):
     """Fold + quantize one conv's weights for every sampler step.
 
     jit-cached by (kernel shape, S, bits) so the ~6 distinct conv shapes in a
@@ -66,7 +66,7 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int):
         rmax = (gr[:, 1:2] * sw).sum(axis=0)
         scale = n_lv / (rmax - rmin)
         zp = jnp.round(scale * rmin) + 2 ** (a_bit - 1)
-        gq, ws, wzp, g_hat = fold_weights_int8(kernel, scale, w_bit)
+        gq, ws, wzp, g_hat = fold_weights_int8(kernel, scale, w_bit, symmetric=symmetric)
         zc = zcorr_from_fold(g_hat, zp, kh, C)
         return gq, ws, wzp, zc, scale, zp
 
@@ -75,9 +75,13 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int):
 
 
 def prepare_int8_runtime(
-    qunet: QuantizedUNet, params, qstates: Dict[str, ActQuantState]
+    qunet: QuantizedUNet, params, qstates: Dict[str, ActQuantState], symmetric: bool = True
 ) -> Dict[str, Int8Layer]:
-    """Fold + quantize weights for every step of every eligible conv."""
+    """Fold + quantize weights for every step of every eligible conv.
+
+    `symmetric` (default) uses zero-point-free weight quantization — the
+    epilogue drops its rowsum term (faster; sub-half-bit range cost on
+    near-symmetric conv weights)."""
     runtime: Dict[str, Int8Layer] = {}
     for name, _cin, _k in iter_conv_layers(qunet.cfg):
         node = params
@@ -89,7 +93,7 @@ def prepare_int8_runtime(
         st = qstates[name]
         pol = qunet.policy[name]
         gq, ws, wzp, zc, scale, zp = _fold_all_steps(
-            kernel, st.group_ranges, st.alpha_logits, pol.a_bit, pol.w_bit
+            kernel, st.group_ranges, st.alpha_logits, pol.a_bit, pol.w_bit, symmetric
         )
         runtime[name] = Int8Layer(gq=gq, ws=ws, wzp=wzp, zcorr=zc, act_scale=scale, act_zp=zp)
     return runtime
@@ -100,6 +104,7 @@ def make_int8_conv_apply(
     qunet: QuantizedUNet,
     qstates: Dict[str, ActQuantState],
     step_idx,
+    symmetric: bool = True,
 ):
     """Conv interceptor: int8 kernels for covered layers; non-eligible convs
     (conv_in/conv_out with 3 channels, strided downsample) run fake-quant
@@ -124,6 +129,7 @@ def make_int8_conv_apply(
                 pol.a_bit,
                 kh,
                 co,
+                symmetric=symmetric,
             ).astype(x.dtype)
         if pol is not None and name in qstates:
             xq = quantize_activation(x.astype(jnp.float32), qstates[name], step_idx, pol.a_bit)
@@ -133,14 +139,14 @@ def make_int8_conv_apply(
     return conv_apply
 
 
-def int8_model_fn(qunet: QuantizedUNet, runtime, params, qstates):
+def int8_model_fn(qunet: QuantizedUNet, runtime, params, qstates, symmetric: bool = True):
     """Sampler-compatible closure running the precomputed int8 path.
     Pass RAW (unquantized) params — eligible convs use the folded int8
     weights from `runtime`; the few fallback layers keep FP weights."""
     from ..models.unet import unet_apply
 
     def fn(x, t, step_idx):
-        ca = make_int8_conv_apply(runtime, qunet, qstates, step_idx)
+        ca = make_int8_conv_apply(runtime, qunet, qstates, step_idx, symmetric=symmetric)
         return unet_apply(params, qunet.cfg, x, t, conv_apply=ca)
 
     return fn

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import namespace2dict
 from ..diffusion import DiffusionSchedule, ddim_sample, ddpm_sample, make_timestep_seq
 from ..diffusion.losses import noise_estimation_loss
 from ..models import UNetConfig, unet_init, unet_apply
@@ -45,7 +44,12 @@ class Diffusion:
         self.schedule = DiffusionSchedule.from_config(config)
         self.betas = self.schedule.betas
         self.num_timesteps = self.schedule.num_timesteps
-        self.ucfg = UNetConfig.from_config(config)
+        ucfg = UNetConfig.from_config(config)
+        if getattr(args, "attn_variant", "ddim") != "ddim":
+            import dataclasses as _dc
+
+            ucfg = _dc.replace(ucfg, attn_variant=args.attn_variant)
+        self.ucfg = ucfg
         self.sample_count = None  # 'diff' t-mode bookkeeping (explicit, anti-D3)
         self.timestep_select = None
 
@@ -227,7 +231,29 @@ class Diffusion:
                 f"stage-2 attention calibration done in {time.time()-t0:.1f}s "
                 f"(loss {losses[0]:.1f} -> {losses[-1]:.1f})"
             )
-        return qstates
+        mp_states = None
+        if getattr(args, "mixed_precision_attention", False):
+            if self.ucfg.attn_variant != "enhanced":
+                logging.warning(
+                    "--mixed_precision_attention requires --attn_variant enhanced; skipping stage 3"
+                )
+            else:
+                from ..quant import calibrate_mp_attention, init_mp_attention_state, make_logit_collector
+
+                t0 = time.time()
+                collector = make_logit_collector(params, self.ucfg, imgs)
+                probe_ts = [0, 250, 500, 750, 999]
+                probe_ts = [min(t, self.num_timesteps - 1) for t in probe_ts]
+                stats0 = collector(probe_ts[0])
+                states = {n: init_mp_attention_state(self.num_timesteps) for n in stats0}
+                mp_states = calibrate_mp_attention(
+                    collector, states, base_bits=args.bitwidth, timesteps=probe_ts
+                )
+                logging.info(
+                    f"stage-3 mixed-precision attention calibration done in "
+                    f"{time.time()-t0:.1f}s ({len(mp_states)} attention layers)"
+                )
+        return qstates, mp_states
 
     # ------------------------------------------------------------------
     # sampling
@@ -262,11 +288,29 @@ class Diffusion:
             ucfg, bitwidth=args.bitwidth, a_bitwidth=getattr(args, "a_bitwidth", None)
         )
         qstates = qunet.init_state(len(list(seq)))
-        qstates = self.calibrate_model(params, qunet, qstates, seq, first=True)
+        qstates, mp_states = self.calibrate_model(params, qunet, qstates, seq, first=True)
         qparams, _ = qunet.prepare_params(params, compute_dtype=cd)
         desc = f"W{args.bitwidth}A{getattr(args, 'a_bitwidth', None) or args.bitwidth}"
         if cd is not None:
             desc += "/bf16"
+        if mp_states is not None:
+            desc += "+mpattn"
+            base_bits = args.bitwidth
+
+            def apply(state, xt, t, i):
+                qp, qs, mps = state
+                ctx = {
+                    "mp_states": mps,
+                    "base_bits": base_bits,
+                    "timestep": t[0].astype("int32"),
+                }
+                from ..models.unet import unet_apply as _ua
+                from ..quant.qunet import make_quant_conv_apply
+
+                ca = make_quant_conv_apply(qs, qunet.policy, i, mode="infer")
+                return _ua(qp, qunet.cfg, xt, t, conv_apply=ca, compute_dtype=cd, attn_ctx=ctx)
+
+            return apply, (qparams, qstates, mp_states), desc
 
         def apply(state, xt, t, i):
             qp, qs = state

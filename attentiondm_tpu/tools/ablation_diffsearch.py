@@ -18,7 +18,6 @@ from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..models.unet import UNetConfig, unet_apply

@@ -52,6 +52,10 @@ def parse_args_and_config():
                         choices=["float32", "bfloat16"],
                         help="activation dtype for the sampling forward pass")
     parser.add_argument("--normgroup", type=bool, default=False)
+    parser.add_argument("--attn_variant", type=str, default="ddim", choices=["ddim", "enhanced"],
+                        help="attention block flavor (enhanced = per-projection quantized MHA)")
+    parser.add_argument("--mixed_precision_attention", action="store_true",
+                        help="stage-3 calibration + quantized attention core (enhanced variant only)")
     parser.add_argument("--diff_loss_weight", type=float, default=1.0)
     parser.add_argument("--sample_weight", type=float, default=2.0,
                         help="'diff' t-mode sample-count penalty")

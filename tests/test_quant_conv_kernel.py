@@ -133,11 +133,38 @@ def test_int8_runtime_prefolded_matches_inline():
     qstates = qunet.init_state(S)
     xs = jax.random.normal(jax.random.PRNGKey(1), (S, 2, 8, 8, 3))
     qstates = calibrate_ranges(qunet, params, qstates, xs, [0, 5], first=True)
-    runtime = prepare_int8_runtime(qunet, params, qstates)
+    runtime = prepare_int8_runtime(qunet, params, qstates, symmetric=False)
     assert runtime  # at least the 64-channel convs are covered
 
     x = xs[0]
     t = jnp.full((2,), 5.0)
     out_inline = qunet.apply(params, qstates, x, t, 1, mode="int8")
-    out_pre = int8_model_fn(qunet, runtime, params, qstates)(x, t, jnp.asarray(1))
+    out_pre = int8_model_fn(qunet, runtime, params, qstates, symmetric=False)(x, t, jnp.asarray(1))
     np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_inline), rtol=1e-4, atol=1e-4)
+
+
+def test_symmetric_fold_close_to_asymmetric():
+    """Symmetric weight folding (fast epilogue) stays close to the asymmetric
+    oracle at 8 bits on near-symmetric weights."""
+    from attentiondm_tpu.ops.quant_conv import quantized_conv2d_int8_prefolded, zcorr_from_fold
+
+    rng = np.random.default_rng(7)
+    B, H, W, C, co = 2, 8, 8, 64, 64
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(3, 3, C, co)) * 0.05, jnp.float32)
+    bias = jnp.zeros((co,), jnp.float32)
+    amin = x.min(axis=(0, 1, 2)); amax = x.max(axis=(0, 1, 2))
+    s = 255.0 / (amax - amin)
+    zp = jnp.round(s * amin) + 128
+
+    outs = {}
+    for sym in (False, True):
+        gq, ws, wzp, g_hat = fold_weights_int8(kernel, s, 8, symmetric=sym)
+        zc = zcorr_from_fold(g_hat, zp, 3, C)
+        outs[sym] = quantized_conv2d_int8_prefolded(
+            x, gq, ws, wzp, zc, bias, s, zp, 8, 3, co, symmetric=sym, interpret=True
+        )
+        if sym:
+            np.testing.assert_array_equal(np.asarray(wzp), 0.0)
+    rel = float(jnp.abs(outs[True] - outs[False]).mean() / jnp.abs(outs[False]).mean())
+    assert rel < 0.02, rel

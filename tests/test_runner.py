@@ -148,3 +148,20 @@ def test_test_method_returns_finite_loss(tmp_path):
     args = make_args(tmp_path)
     loss = Diffusion(args, config).test()
     assert np.isfinite(loss)
+
+
+def test_sample_enhanced_with_mixed_precision_attention(tmp_path):
+    """Full pipeline with the enhanced attention variant + stage-3 MP
+    calibration (the reference's intended but unreachable flow)."""
+    config = tiny_config(tmp_path)
+    args = make_args(
+        tmp_path,
+        bitwidth=8,
+        timesteps=3,
+        attn_variant="enhanced",
+        mixed_precision_attention=True,
+    )
+    runner = Diffusion(args, config)
+    assert runner.ucfg.attn_variant == "enhanced"
+    runner.sample()
+    assert os.path.exists(os.path.join(args.image_folder, "grid.png"))
