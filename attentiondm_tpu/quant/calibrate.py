@@ -148,13 +148,15 @@ def calibrate_ranges(
     t_rev = np.asarray(list(seq))[::-1]
     n = xs.shape[1]
 
+    # params are a jit ARGUMENT (closure constants become HLO literals and
+    # overflow remote-compile payload limits on big models)
     @jax.jit
-    def step(qs, x, t, s):
-        return calibrate_ranges_step(qunet, params, qs, x, t, s, first)[0]
+    def step(p, qs, x, t, s):
+        return calibrate_ranges_step(qunet, p, qs, x, t, s, first)[0]
 
     for i in range(xs.shape[0]):
         t_vec = jnp.full((n,), float(t_rev[i]), jnp.float32)
-        qstates = step(qstates, xs[i], t_vec, jnp.asarray(i))
+        qstates = step(params, qstates, xs[i], t_vec, jnp.asarray(i))
     return qstates
 
 
@@ -224,16 +226,16 @@ def calibrate_differentiable(
         return out
 
     @jax.jit
-    def step(alphas, opt_state, xt, s, t_i, at, at_next, k):
+    def step(p, base_qstates, alphas, opt_state, xt, s, t_i, at, at_next, k):
         def loss_fn(alphas_):
-            qs = set_alphas(qstates, alphas_)
+            qs = set_alphas(base_qstates, alphas_)
             # eps-MSE on x_t noised further to a random level? The reference
             # noises the CURRENT x_t as if it were x0, at level t_i.
             e = jax.random.normal(k, xt.shape, xt.dtype)
             a = abar[jnp.asarray(t_i, jnp.int32)]
             x_noised = xt * jnp.sqrt(a) + e * jnp.sqrt(1.0 - a)
             t_vec = jnp.full((n,), t_i, jnp.float32)
-            et = qunet.apply(params, qs, x_noised, t_vec, s, mode="mixture")
+            et = qunet.apply(p, qs, x_noised, t_vec, s, mode="mixture")
             mse = jnp.square(e - et).sum(axis=(1, 2, 3)).mean()
             ent = 0.0
             for n_ in sel_names:
@@ -253,6 +255,8 @@ def calibrate_differentiable(
     for i in range(S):
         k = jax.random.fold_in(key, i)
         alphas, opt_state, xt, loss = step(
+            params,
+            qstates,
             alphas,
             opt_state,
             xt,

@@ -185,10 +185,13 @@ class Diffusion:
         x = jax.random.normal(
             key, (n, self.config.data.image_size, self.config.data.image_size, self.config.data.channels)
         )
-        fp_fn = lambda xt, t, i: unet_apply(params, self.ucfg, xt, t)
+        ucfg = self.ucfg
         _, traj, _ = jax.jit(
-            lambda x: ddim_sample(fp_fn, x, seq, self.betas, eta=args.eta, keep_trajectory=True)
-        )(x)
+            lambda p, x: ddim_sample(
+                lambda xt, t, i: unet_apply(p, ucfg, xt, t),
+                x, seq, self.betas, eta=args.eta, keep_trajectory=True,
+            )
+        )(params, x)
         xs_full = jnp.concatenate([x[None], traj], axis=0)
         imgs, t_sel, self.sample_count = select_calibration_images(
             xs_full,
@@ -348,8 +351,6 @@ class Diffusion:
             out = jitted(mstate, shard_batch(mesh, x), key)
             return inverse_data_transform(config, jax.device_get(out))
 
-        # keep a plain (x,t,i) closure for the interpolation/sequence paths
-        model_fn = lambda xt, t, i: apply(mstate, xt, t, i)
 
         os.makedirs(args.image_folder, exist_ok=True)
         key = jax.random.PRNGKey(args.seed)
@@ -382,7 +383,7 @@ class Diffusion:
             return
 
         if args.interpolation:
-            self._interpolation(model_fn, seq, key)
+            self._interpolation(apply, mstate, seq, key)
             return
 
         n = args.num_samples or 64
@@ -391,8 +392,11 @@ class Diffusion:
             shape = (n, config.data.image_size, config.data.image_size, config.data.channels)
             x = jax.random.normal(sub, shape)
             _, traj, _ = jax.jit(
-                lambda x: ddim_sample(model_fn, x, seq, self.betas, eta=args.eta, keep_trajectory=True)
-            )(x)
+                lambda st, x: ddim_sample(
+                    lambda xt, t, i: apply(st, xt, t, i),
+                    x, seq, self.betas, eta=args.eta, keep_trajectory=True,
+                )
+            )(mstate, x)
             traj = jax.device_get(traj)
             stride = max(1, traj.shape[0] // 10)
             for s in range(0, traj.shape[0], stride):
@@ -406,7 +410,7 @@ class Diffusion:
         save_image_grid(imgs, os.path.join(args.image_folder, "grid.png"))
         logging.info(f"saved {imgs.shape[0]} samples to {args.image_folder}")
 
-    def _interpolation(self, model_fn, seq, key):
+    def _interpolation(self, apply, mstate, seq, key):
         """Spherical interpolation in noise space (implements the --interpolation
         flag the reference parsed but never implemented, D12)."""
         args, config = self.args, self.config
@@ -424,7 +428,11 @@ class Diffusion:
                 for a in alphas
             ]
         )
-        out = jax.jit(lambda x: ddim_sample(model_fn, x, seq, self.betas, eta=args.eta))(zs)
+        out = jax.jit(
+            lambda st, x: ddim_sample(
+                lambda xt, t, i: apply(st, xt, t, i), x, seq, self.betas, eta=args.eta
+            )
+        )(mstate, zs)
         imgs = inverse_data_transform(config, jax.device_get(out))
         save_image_grid(imgs, os.path.join(args.image_folder, "interpolation.png"), nrow=len(alphas))
         logging.info(f"saved interpolation grid to {args.image_folder}")
@@ -440,10 +448,12 @@ class Diffusion:
         batch = max(1, min(getattr(config.sampling, "batch_size", 64), 64, len(test_ds)))
         key = jax.random.PRNGKey(args.seed)
 
+        ucfg = self.ucfg
+
         @jax.jit
-        def eval_loss(x0, t, e):
+        def eval_loss(p, x0, t, e):
             loss, _ = noise_estimation_loss(
-                lambda x, tt: unet_apply(params, self.ucfg, x, tt), x0, t, e, self.betas
+                lambda x, tt: unet_apply(p, ucfg, x, tt), x0, t, e, self.betas
             )
             return loss
 
@@ -453,7 +463,7 @@ class Diffusion:
             key, kt, ke = jax.random.split(key, 3)
             t = jax.random.randint(kt, (x.shape[0],), 0, self.num_timesteps)
             e = jax.random.normal(ke, x.shape)
-            losses.append(float(eval_loss(jnp.asarray(x), t, e)))
+            losses.append(float(eval_loss(params, jnp.asarray(x), t, e)))
             if i >= 10:
                 break
         avg = float(np.mean(losses))
