@@ -42,19 +42,19 @@ def collect_activation_ranges(
     n = x.shape[0]
 
     @jax.jit
-    def probe(t_scalar):
+    def probe(p, xin_, t_scalar):
         stats = {}
 
-        def spy(name, xin, p, *, stride=1, padding="SAME"):
+        def spy(name, xin, pp, *, stride=1, padding="SAME"):
             stats[name] = (xin.min(), xin.max(), xin.mean(), xin.std())
-            return conv2d(xin, p, stride=stride, padding=padding)
+            return conv2d(xin, pp, stride=stride, padding=padding)
 
-        unet_apply(params, cfg, x, jnp.full((n,), t_scalar), conv_apply=spy)
+        unet_apply(p, cfg, xin_, jnp.full((n,), t_scalar), conv_apply=spy)
         return stats
 
     out: Dict[str, Dict[str, list]] = {}
     for t in timesteps:
-        stats = jax.device_get(probe(jnp.asarray(float(t))))
+        stats = jax.device_get(probe(params, x, jnp.asarray(float(t))))
         for name, (mn, mx, mean, std) in stats.items():
             d = out.setdefault(name, {"min": [], "max": [], "mean": [], "std": []})
             d["min"].append(float(mn))
@@ -98,7 +98,7 @@ def collect_attention_ranges(
     n = x.shape[0]
 
     @jax.jit
-    def probe(t_scalar):
+    def probe(p_, xin_, t_scalar):
         conv_stats = {}
         attn_stats: dict = {}
 
@@ -109,9 +109,9 @@ def collect_attention_ranges(
             return conv2d(xin, p, stride=stride, padding=padding)
 
         unet_apply(
-            params,
+            p_,
             cfg,
-            x,
+            xin_,
             jnp.full((n,), t_scalar),
             conv_apply=spy,
             attn_ctx={"collect": attn_stats} if cfg.attn_variant == "enhanced" else None,
@@ -120,7 +120,7 @@ def collect_attention_ranges(
 
     out: Dict[str, Dict[str, list]] = {}
     for t in timesteps:
-        conv_stats, attn_stats = jax.device_get(probe(jnp.asarray(float(t))))
+        conv_stats, attn_stats = jax.device_get(probe(params, x, jnp.asarray(float(t))))
         for name, (mn, mx) in {**conv_stats, **{f"{k}.logits": v for k, v in attn_stats.items()}}.items():
             d = out.setdefault(name, {"min": [], "max": []})
             d["min"].append(float(mn))
