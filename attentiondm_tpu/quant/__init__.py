@@ -1,5 +1,6 @@
 from .primitives import (
     asymmetric_quant_params,
+    percentile_range,
     ste_round,
     fake_quant,
     quantize_int,
@@ -59,6 +60,7 @@ __all__ = [
     "quantize_int",
     "dequantize_int",
     "lp_loss",
+    "percentile_range",
     "groupwise_ranges",
     "ActQuantConfig",
     "ActQuantState",

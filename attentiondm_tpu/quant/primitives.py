@@ -83,3 +83,14 @@ def quantize_int(x, scale, zp, num_bits: int, dtype=jnp.int8):
 
 def dequantize_int(q, scale, zp, dtype=jnp.float32):
     return (q.astype(dtype) + zp) / scale
+
+
+def percentile_range(x, percentile: float = 0.9999):
+    """(low, high) percentile-clipped range of a tensor — the outlier-robust
+    alternative to min/max range calibration (reference
+    find_scale_by_percentile_min/max, utils/quant_util.py:440-450).
+    Traceable (jnp.quantile)."""
+    flat = x.reshape(-1)
+    low = jnp.quantile(flat, 1.0 - percentile)
+    high = jnp.quantile(flat, percentile)
+    return low, high

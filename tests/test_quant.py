@@ -189,3 +189,13 @@ def test_weight_quant_preserves_weights_at_8bit():
     w8 = quantize_weight_per_channel(w, wq, 8)
     rel = jnp.abs(w8[..., 1:] - w[..., 1:]).max() / jnp.abs(w[..., 1:]).max()
     assert float(rel) < 0.01
+
+
+def test_percentile_range():
+    from attentiondm_tpu.quant import percentile_range
+
+    x = jnp.concatenate([jnp.linspace(-1, 1, 10000), jnp.array([100.0, -100.0])])
+    lo, hi = percentile_range(x, 0.999)
+    # outliers clipped away
+    assert -1.1 < float(lo) < -0.9
+    assert 0.9 < float(hi) < 1.1
