@@ -47,3 +47,39 @@ class MetricsLogger:
             if write_header and f.tell() == 0:
                 w.writeheader()
             w.writerow(row)
+
+
+def log_every(iterable, print_freq: int, header: str = "", logger=None):
+    """Progress-logging iterator wrapper: iter/s, ETA, and (single-chip) live
+    device-memory stats when available — the working equivalent of the
+    reference's MetricLogger.log_every (util.py:115-159, which reported
+    torch.cuda.max_memory_allocated and was never called)."""
+    import logging as _logging
+    import time as _time
+
+    log = logger or _logging.getLogger(__name__)
+    items = list(iterable) if hasattr(iterable, "__len__") is False else iterable
+    total = len(items)
+    t0 = _time.time()
+    iter_time = AverageMeter("iter")
+    t_prev = t0
+    for i, obj in enumerate(items):
+        yield obj
+        now = _time.time()
+        iter_time.update(now - t_prev)
+        t_prev = now
+        if i % print_freq == 0 or i == total - 1:
+            eta = iter_time.avg * (total - i - 1)
+            mem = ""
+            try:
+                import jax as _jax
+
+                stats = _jax.local_devices()[0].memory_stats() or {}
+                if "bytes_in_use" in stats:
+                    mem = f" mem {stats['bytes_in_use'] / 1e9:.2f}GB"
+            except Exception:
+                pass
+            log.info(
+                f"{header} [{i}/{total}] {iter_time.avg*1e3:.0f}ms/it eta {eta:.0f}s{mem}"
+            )
+    log.info(f"{header} total {_time.time() - t0:.1f}s")

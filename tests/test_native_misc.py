@@ -65,3 +65,15 @@ def test_step_timer():
     with t.lap():
         pass
     assert len(t.times) == 1 and t.best >= 0
+
+
+def test_log_every(caplog):
+    import logging
+
+    from attentiondm_tpu.utils.metrics_log import log_every
+
+    with caplog.at_level(logging.INFO):
+        out = [x * 2 for x in log_every(range(5), 2, header="t")]
+    assert out == [0, 2, 4, 6, 8]
+    assert any("[0/5]" in r.message for r in caplog.records)
+    assert any("total" in r.message for r in caplog.records)
