@@ -1,0 +1,281 @@
+"""Fused GroupNorm -> (swish) -> per-channel-quantize Pallas TPU kernels.
+
+These are the round-2 kernels that make true-int8 execution win end-to-end.
+The int8 conv MACs themselves were already at MXU peak (ops/quant_conv.py),
+but the model is HBM-bound: the f32 elementwise chains between convs
+(GroupNorm stats pass + normalize pass + quantize pass + conv epilogue pass)
+cost more than the convs.  Measured at the CIFAR level-0 shape
+(256x32x32x128, v5e): group_norm 0.59 ms + quantize 0.41 ms vs int8 conv
+0.40 ms.  Each kernel here collapses a whole inter-conv chain into ONE read
+and ONE (int8, 4x smaller) write:
+
+  gn_act_quant:        x_f32 --[GN, swish?, per-channel asym quant]--> int8
+  epilogue_gn_quant:   conv_int32 --[dequant +bias +temb, GN, swish,
+                                     quant]--> int8
+
+GroupNorm statistics never leave VMEM: each grid block holds whole images
+(GN reduces over all spatial positions), channel sums reduce along the
+sublane axis, and the per-group mixing of channel sums is a tiny one-hot
+matmul -- no lane-dimension reshapes (which force Mosaic relayouts).
+
+Reference behavior being fused: GroupNorm(32, eps=1e-6) + swish
+(/root/reference/models/diffusion.py:32-38) followed by the QConv2d input
+fake-quant (utils/quant_util.py:269-279) -- except here the quantized values
+stay int8 for the MXU instead of being dequantized back to float.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant_conv import _auto_interpret
+
+
+def _pick_block_b(per_image_bytes: int, budget: int = 4 * 1024 * 1024) -> int:
+    bb = max(1, budget // max(per_image_bytes, 1))
+    p = 1
+    while p * 2 <= bb:
+        p *= 2
+    return min(p, 8)
+
+
+def _group_onehots(C: int, groups: int):
+    """[C, G] one-hot (channel -> its group) and its transpose, f32.
+
+    Group g covers channels [g*C/G, (g+1)*C/G) — torch GroupNorm semantics.
+    """
+    g = min(groups, C)
+    cg = C // g
+    onehot = np.zeros((C, g), np.float32)
+    onehot[np.arange(C), np.arange(C) // cg] = 1.0
+    return jnp.asarray(onehot), g, cg
+
+
+def _gn_normalize(x, onehot, inv_count, gn_scale, gn_bias, eps=1e-6):
+    """Shared in-kernel GN math.  x: [bb, HW, C] f32; returns normalized x.
+
+    Stats flow: sublane-reduce to per-channel sums [bb, C], mix into per-group
+    sums with a [C, G] one-hot matmul, broadcast back with the transpose.
+    E[x^2]-mu^2 in f32 is well-conditioned at activation magnitudes (|x|<~30)
+    and quantization error dominates any 1e-6-relative stats wobble.
+    """
+    s_c = jnp.sum(x, axis=1)  # [bb, C]
+    s2_c = jnp.sum(x * x, axis=1)  # [bb, C]
+    sum_g = jnp.dot(s_c, onehot, preferred_element_type=jnp.float32)  # [bb, G]
+    sum2_g = jnp.dot(s2_c, onehot, preferred_element_type=jnp.float32)
+    mean_g = sum_g * inv_count
+    var_g = jnp.maximum(sum2_g * inv_count - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, onehot.T, preferred_element_type=jnp.float32)  # [bb, C]
+    rstd_c = jnp.dot(rstd_g, onehot.T, preferred_element_type=jnp.float32)
+    xn = (x - mean_c[:, None, :]) * rstd_c[:, None, :]
+    return xn * gn_scale + gn_bias
+
+
+def _quant(x, scale, zp, n):
+    return jnp.clip(jnp.round(scale * x - zp), -n, n - 1).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# kernel: GN -> swish? -> quantize (possibly to several scales at once)
+# ---------------------------------------------------------------------------
+
+
+def _gn_quant_kernel(x_ref, gnp_ref, oh_ref, *rest, n_out, inv_count, act, n_levels):
+    sq_refs = rest[: n_out]
+    out_refs = rest[n_out :]
+    x = x_ref[:].astype(jnp.float32)
+    h = _gn_normalize(x, oh_ref[:], inv_count, gnp_ref[0:1, :], gnp_ref[1:2, :])
+    if act == "swish":
+        h = h * jax.nn.sigmoid(h)
+    for i in range(n_out):
+        sq = sq_refs[i]
+        out_refs[i][:] = _quant(h, sq[0:1, :], sq[1:2, :], n_levels[i])
+
+
+def gn_act_quant(
+    x: jax.Array,
+    gn_scale: jax.Array,
+    gn_bias: jax.Array,
+    quant_params,  # sequence of (act_scale [C], act_zp [C], a_bit)
+    *,
+    groups: int = 32,
+    act: str = "swish",
+    interpret: bool | None = None,
+):
+    """Fused GroupNorm -> activation -> per-channel asymmetric quantize.
+
+    x: [B, H, W, C] or [B, HW, C] float.  Returns a tuple of int8 arrays of
+    x's shape, one per (scale, zp, bit) triple — the multi-output form lets
+    attention quantize the same normalized tensor for q/k/v in one pass.
+    """
+    interpret = _auto_interpret(interpret)
+    orig_shape = x.shape
+    B, C = x.shape[0], x.shape[-1]
+    HW = int(np.prod(x.shape[1:-1]))
+    if HW * C * 5 > 4 * 1024 * 1024:
+        return gn_act_quant_reference(x, gn_scale, gn_bias, quant_params, groups=groups, act=act)
+    x3 = x.reshape(B, HW, C)
+
+    onehot, g, cg = _group_onehots(C, groups)
+    inv_count = 1.0 / (HW * cg)
+    gnp = jnp.stack([gn_scale.astype(jnp.float32), gn_bias.astype(jnp.float32)])  # [2, C]
+    sqs = [
+        jnp.stack([s.astype(jnp.float32), z.astype(jnp.float32)]) for (s, z, _b) in quant_params
+    ]
+    n_levels = tuple(2 ** (b - 1) for (_s, _z, b) in quant_params)
+    n_out = len(quant_params)
+
+    bb = _pick_block_b(HW * C * 5)
+    Bp = (B + bb - 1) // bb * bb
+    if Bp != B:
+        x3 = jnp.pad(x3, ((0, Bp - B), (0, 0), (0, 0)))
+
+    kern = functools.partial(
+        _gn_quant_kernel, n_out=n_out, inv_count=inv_count, act=act, n_levels=n_levels
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(Bp // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, HW, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec((2, C), lambda i: (0, 0), memory_space=pltpu.VMEM)] * n_out,
+        out_specs=[
+            pl.BlockSpec((bb, HW, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((Bp, HW, C), jnp.int8)] * n_out,
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * HW * C * (12 + 4 * n_out),
+            bytes_accessed=Bp * HW * C * (4 + n_out),
+            transcendentals=Bp * HW * C,
+        ),
+        interpret=interpret,
+    )(x3, gnp, onehot, *sqs)
+    return tuple(o[:B].reshape(orig_shape) for o in outs)
+
+
+# ---------------------------------------------------------------------------
+# kernel: int32 conv epilogue -> (+temb) -> GN -> swish -> quantize
+# ---------------------------------------------------------------------------
+
+
+def _epi_gn_quant_kernel(
+    dot_ref, epi_ref, temb_ref, gnp_ref, oh_ref, sq_ref, out_ref, *, inv_count, n
+):
+    h = dot_ref[:].astype(jnp.float32) * epi_ref[0:1, :] + epi_ref[1:2, :]
+    h = h + temb_ref[:]  # [bb, 1, N] broadcasts over HW
+    h = _gn_normalize(h, oh_ref[:], inv_count, gnp_ref[0:1, :], gnp_ref[1:2, :])
+    h = h * jax.nn.sigmoid(h)
+    out_ref[:] = _quant(h, sq_ref[0:1, :], sq_ref[1:2, :], n)
+
+
+def epilogue_gn_swish_quant(
+    dot: jax.Array,  # [B, H, W, N] or [B, HW, N] int32 (conv accumulator)
+    inv_ws: jax.Array,  # [N] 1/weight-scale (dequant factor)
+    zcbias: jax.Array,  # [N] zero-point correction + conv bias, pre-added
+    temb: jax.Array,  # [B, N] per-image time-embedding projection
+    gn_scale: jax.Array,
+    gn_bias: jax.Array,
+    act_scale: jax.Array,  # [N] next conv's activation quant scale
+    act_zp: jax.Array,
+    a_bit: int,
+    *,
+    groups: int = 32,
+    interpret: bool | None = None,
+):
+    """Fused int8-conv epilogue + temb add + GroupNorm + swish + requantize.
+
+    Collapses the resblock's conv1 -> norm2 -> swish -> conv2-input chain into
+    a single HBM pass: reads the int32 accumulator, writes int8.  The f32
+    intermediate `h` never exists in HBM.
+    """
+    interpret = _auto_interpret(interpret)
+    orig_shape = dot.shape
+    B, N = dot.shape[0], dot.shape[-1]
+    HW = int(np.prod(dot.shape[1:-1]))
+    if HW * N * 5 > 4 * 1024 * 1024:
+        # whole-image blocks won't fit VMEM (256x256 LSUN shapes) — XLA
+        # two-pass fallback (stats reduce + fused elementwise)
+        return epilogue_gn_swish_quant_reference(
+            dot, inv_ws, zcbias, temb, gn_scale, gn_bias, act_scale, act_zp,
+            a_bit, groups=groups,
+        )
+    d3 = dot.reshape(B, HW, N)
+
+    onehot, g, cg = _group_onehots(N, groups)
+    inv_count = 1.0 / (HW * cg)
+    epi = jnp.stack([inv_ws.astype(jnp.float32), zcbias.astype(jnp.float32)])  # [2, N]
+    gnp = jnp.stack([gn_scale.astype(jnp.float32), gn_bias.astype(jnp.float32)])
+    sq = jnp.stack([act_scale.astype(jnp.float32), act_zp.astype(jnp.float32)])
+    n = 2 ** (a_bit - 1)
+
+    bb = _pick_block_b(HW * N * 5)
+    Bp = (B + bb - 1) // bb * bb
+    if Bp != B:
+        d3 = jnp.pad(d3, ((0, Bp - B), (0, 0), (0, 0)))
+        temb = jnp.pad(temb, ((0, Bp - B), (0, 0)))
+    temb3 = temb.reshape(Bp, 1, N)  # trailing block dims (1, N) match the array
+
+    kern = functools.partial(_epi_gn_quant_kernel, inv_count=inv_count, n=n)
+    out = pl.pallas_call(
+        kern,
+        grid=(Bp // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, HW, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, HW, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, HW, N), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * HW * N * 18,
+            bytes_accessed=Bp * HW * N * 5,
+            transcendentals=Bp * HW * N,
+        ),
+        interpret=interpret,
+    )(d3, epi, temb3, gnp, onehot, sq)
+    return out[:B].reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# jnp reference implementations (oracles for tests; also the CPU fallback for
+# spatial extents too large for whole-image VMEM blocks)
+# ---------------------------------------------------------------------------
+
+
+def gn_act_quant_reference(x, gn_scale, gn_bias, quant_params, *, groups=32, act="swish"):
+    from ..models.unet import group_norm, swish as _swish
+
+    h = group_norm(x.astype(jnp.float32), {"scale": gn_scale, "bias": gn_bias}, num_groups=groups)
+    if act == "swish":
+        h = _swish(h)
+    outs = []
+    for s, z, b in quant_params:
+        n = 2 ** (b - 1)
+        outs.append(jnp.clip(jnp.round(s * h - z), -n, n - 1).astype(jnp.int8))
+    return tuple(outs)
+
+
+def epilogue_gn_swish_quant_reference(
+    dot, inv_ws, zcbias, temb, gn_scale, gn_bias, act_scale, act_zp, a_bit, *, groups=32
+):
+    from ..models.unet import group_norm, swish as _swish
+
+    B = dot.shape[0]
+    h = dot.astype(jnp.float32) * inv_ws + zcbias
+    h = h + temb.reshape(B, *([1] * (dot.ndim - 2)), -1)
+    h = group_norm(h, {"scale": gn_scale, "bias": gn_bias}, num_groups=groups)
+    h = _swish(h)
+    n = 2 ** (a_bit - 1)
+    return jnp.clip(jnp.round(act_scale * h - act_zp), -n, n - 1).astype(jnp.int8)

@@ -1,0 +1,136 @@
+"""Fused GN->swish->quantize Pallas kernels vs. jnp oracles (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attentiondm_tpu.ops.fused_gn import (
+    epilogue_gn_swish_quant,
+    epilogue_gn_swish_quant_reference,
+    gn_act_quant,
+    gn_act_quant_reference,
+)
+
+
+def _mismatch_frac(a, b):
+    return float(jnp.mean((a != b).astype(jnp.float32)))
+
+
+@pytest.mark.parametrize("shape,groups", [((3, 8, 8, 128), 32), ((2, 64, 256), 32), ((5, 4, 4, 128), 32)])
+@pytest.mark.parametrize("act", ["swish", "none"])
+def test_gn_act_quant_matches_reference(shape, groups, act):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    C = shape[-1]
+    x = jax.random.normal(ks[0], shape, jnp.float32) * 3.0
+    gn_scale = 1.0 + 0.1 * jax.random.normal(ks[1], (C,))
+    gn_bias = 0.1 * jax.random.normal(ks[2], (C,))
+    s = jnp.exp(0.2 * jax.random.normal(ks[3], (C,))) * 20.0
+    z = jnp.round(jax.random.normal(ks[4], (C,)) * 3.0)
+    qp = [(s, z, 8)]
+
+    (got,) = gn_act_quant(x, gn_scale, gn_bias, qp, groups=groups, act=act, interpret=True)
+    (want,) = gn_act_quant_reference(x, gn_scale, gn_bias, qp, groups=groups, act=act)
+    assert got.shape == want.shape and got.dtype == jnp.int8
+    # float-order differences may flip a rounding tie on a vanishing fraction
+    assert _mismatch_frac(got, want) < 2e-3
+    assert int(jnp.abs(got.astype(jnp.int32) - want.astype(jnp.int32)).max()) <= 1
+
+
+def test_gn_act_quant_multi_output_shares_one_pass():
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 3)
+    x = jax.random.normal(ks[0], (2, 16, 16, 128), jnp.float32)
+    gn_scale = jnp.ones((128,))
+    gn_bias = jnp.zeros((128,))
+    qp = [
+        (jnp.full((128,), 30.0), jnp.zeros((128,)), 8),
+        (jnp.full((128,), 7.0), jnp.ones((128,)), 6),
+        (jnp.full((128,), 15.0), jnp.zeros((128,)), 8),
+    ]
+    got = gn_act_quant(x, gn_scale, gn_bias, qp, act="none", interpret=True)
+    want = gn_act_quant_reference(x, gn_scale, gn_bias, qp, act="none")
+    assert len(got) == 3
+    for g, w, (_, _, b) in zip(got, want, qp):
+        assert _mismatch_frac(g, w) < 2e-3
+        n = 2 ** (b - 1)
+        assert int(g.min()) >= -n and int(g.max()) <= n - 1
+
+
+def test_gn_act_quant_ragged_batch():
+    # B not divisible by the block size exercises the pad/unpad path
+    x = jax.random.normal(jax.random.PRNGKey(2), (7, 8, 8, 128), jnp.float32)
+    qp = [(jnp.full((128,), 25.0), jnp.zeros((128,)), 8)]
+    (got,) = gn_act_quant(x, jnp.ones((128,)), jnp.zeros((128,)), qp, interpret=True)
+    (want,) = gn_act_quant_reference(x, jnp.ones((128,)), jnp.zeros((128,)), qp)
+    assert _mismatch_frac(got, want) < 2e-3
+
+
+def test_epilogue_gn_swish_quant_matches_reference():
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 6)
+    B, H, W, N = 3, 8, 8, 128
+    dot = jax.random.randint(ks[0], (B, H, W, N), -(2**20), 2**20, jnp.int32)
+    inv_ws = jnp.exp(0.1 * jax.random.normal(ks[1], (N,))) * 1e-4
+    zcbias = 0.3 * jax.random.normal(ks[2], (N,))
+    temb = 0.5 * jax.random.normal(ks[3], (B, N))
+    s = jnp.full((N,), 18.0)
+    z = jnp.round(jax.random.normal(ks[4], (N,)) * 2.0)
+    got = epilogue_gn_swish_quant(
+        dot, inv_ws, zcbias, temb, jnp.ones((N,)), jnp.zeros((N,)), s, z, 8, interpret=True
+    )
+    want = epilogue_gn_swish_quant_reference(
+        dot, inv_ws, zcbias, temb, jnp.ones((N,)), jnp.zeros((N,)), s, z, 8
+    )
+    assert got.shape == want.shape and got.dtype == jnp.int8
+    assert _mismatch_frac(got, want) < 2e-3
+    assert int(jnp.abs(got.astype(jnp.int32) - want.astype(jnp.int32)).max()) <= 1
+
+
+def test_epilogue_matches_unfused_int8_conv_chain():
+    """End-to-end check against the existing prefolded int8 conv + group_norm."""
+    from attentiondm_tpu.models.unet import group_norm, swish
+    from attentiondm_tpu.ops.quant_conv import (
+        fold_weights_int8,
+        quantized_conv2d_int8_prefolded,
+        zcorr_from_fold,
+    )
+
+    key = jax.random.PRNGKey(4)
+    ks = jax.random.split(key, 5)
+    B, H, W, C = 2, 8, 8, 128
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.float32)
+    kernel = jax.random.normal(ks[1], (3, 3, C, C)) * 0.05
+    bias = 0.01 * jax.random.normal(ks[2], (C,))
+    a_bit = 8
+    n_lv = 2**a_bit - 1
+    rmin, rmax = jnp.full((C,), -4.0), jnp.full((C,), 4.0)
+    scale = n_lv / (rmax - rmin)
+    zp = jnp.round(scale * rmin) + 2 ** (a_bit - 1)
+    gq, ws, wzp, g_hat = fold_weights_int8(kernel, scale, 4, symmetric=True)
+    zc = zcorr_from_fold(g_hat, zp, 3, C)
+    temb = 0.2 * jax.random.normal(ks[3], (B, C))
+
+    # unfused: prefolded conv -> f32 -> +temb -> GN -> swish -> quantize
+    h_unfused = quantized_conv2d_int8_prefolded(
+        x, gq, ws, wzp, zc, bias, scale, zp, a_bit, 3, C, symmetric=True, interpret=True
+    )
+    h_unfused = h_unfused + temb[:, None, None, :]
+    h_unfused = swish(group_norm(h_unfused, {"scale": jnp.ones((C,)), "bias": jnp.zeros((C,))}))
+    n = 2 ** (a_bit - 1)
+    want = jnp.clip(jnp.round(scale * h_unfused - zp), -n, n - 1).astype(jnp.int8)
+
+    # fused: raw int32 conv -> epilogue kernel
+    n_a = 2 ** (a_bit - 1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xq = jnp.clip(jnp.round(scale * xp - zp), -n_a, n_a - 1).astype(jnp.int8)
+    dot = jax.lax.conv_general_dilated(
+        xq, gq.reshape(3, 3, C, C), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.int32,
+    )
+    got = epilogue_gn_swish_quant(
+        dot, 1.0 / ws, zc + bias, temb, jnp.ones((C,)), jnp.zeros((C,)), scale, zp, a_bit,
+        interpret=True,
+    )
+    assert _mismatch_frac(got, want) < 2e-3
+    assert int(jnp.abs(got.astype(jnp.int32) - want.astype(jnp.int32)).max()) <= 1

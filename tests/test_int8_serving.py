@@ -1,0 +1,108 @@
+"""Fused int8 serving path vs the round-1 interception path (CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attentiondm_tpu.models import UNetConfig, unet_init
+from attentiondm_tpu.quant import QuantizedUNet, calibrate_ranges
+from attentiondm_tpu.quant.int8_runtime import int8_model_fn, prepare_int8_runtime
+from attentiondm_tpu.quant.int8_serving import (
+    prepare_serving_runtime,
+    serving_ddim_sampler,
+    serving_model_fn,
+)
+
+
+def _setup(ch=128, attn=(8,), res=8, steps=2):
+    """Tiny UNet with 128-channel convs so the fused resblock branch runs."""
+    cfg = UNetConfig(
+        ch=ch, ch_mult=(1,), num_res_blocks=1, attn_resolutions=attn,
+        resolution=res, dropout=0.0,
+    )
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    qunet = QuantizedUNet.create(cfg, 8)
+    qstates = qunet.init_state(steps)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (steps, 2, res, res, 3))
+    seq = list(np.linspace(0, 900, steps).astype(int))
+    qstates = calibrate_ranges(qunet, params, qstates, xs, seq, first=True)
+    return cfg, params, qunet, qstates, xs, seq
+
+
+def test_serving_matches_interception_path():
+    cfg, params, qunet, qstates, xs, _ = _setup()
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    # the 128-channel resblock convs must be covered (fused branch active)
+    assert "down.0.block.0.conv1" in runtime
+    assert "mid.attn_1.q" in runtime
+
+    x = xs[0]
+    t = jnp.full((2,), 5.0)
+    want = int8_model_fn(qunet, prepare_int8_runtime(qunet, params, qstates), params, qstates)(
+        x, t, jnp.asarray(0)
+    )
+    got = serving_model_fn(qunet, runtime, params, qstates)(x, t, jnp.asarray(0))
+    assert got.shape == want.shape
+    # same weight fold + same activation grid; only GroupNorm float-order
+    # details and rounding ties differ between the fused and unfused chains
+    rel = float(jnp.abs(got - want).mean() / (jnp.abs(want).mean() + 1e-9))
+    assert rel < 0.02, rel
+    assert bool(jnp.isfinite(got).all())
+
+
+def test_serving_bf16_residual_close_to_f32():
+    cfg, params, qunet, qstates, xs, _ = _setup()
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    x = xs[0]
+    t = jnp.full((2,), 5.0)
+    f32 = serving_model_fn(qunet, runtime, params, qstates)(x, t, jnp.asarray(0))
+    bf16 = serving_model_fn(qunet, runtime, params, qstates, residual_dtype=jnp.bfloat16)(
+        x, t, jnp.asarray(0)
+    )
+    rel = float(jnp.abs(bf16 - f32).mean() / (jnp.abs(f32).mean() + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_serving_uncovered_channels_fall_back():
+    """ch=64 (not 128-aligned) routes through the unfused per-conv dispatch
+    and still matches the interception path."""
+    cfg, params, qunet, qstates, xs, _ = _setup(ch=64, attn=())
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    x = xs[0]
+    t = jnp.full((2,), 5.0)
+    want = int8_model_fn(qunet, prepare_int8_runtime(qunet, params, qstates), params, qstates)(
+        x, t, jnp.asarray(1)
+    )
+    got = serving_model_fn(qunet, runtime, params, qstates)(x, t, jnp.asarray(1))
+    rel = float(jnp.abs(got - want).mean() / (jnp.abs(want).mean() + 1e-9))
+    assert rel < 0.02, rel
+
+
+def test_chunked_sampler_equals_unchunked():
+    """step_chunk bounds folded-weight HBM; outputs must be identical."""
+    from attentiondm_tpu.diffusion import DiffusionSchedule
+
+    cfg, params, qunet, qstates, xs, seq = _setup(steps=4)
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    seq = [0, 300, 600, 900]
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3))
+
+    full = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas)
+    chunked = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas, step_chunk=3)
+    np.testing.assert_allclose(
+        np.asarray(full(x)), np.asarray(chunked(x)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_serving_sampler_finite_with_eta():
+    from attentiondm_tpu.diffusion import DiffusionSchedule
+
+    cfg, params, qunet, qstates, xs, seq = _setup(steps=3)
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    seq = [0, 400, 800]
+    sample = serving_ddim_sampler(
+        qunet, params, qstates, seq, sched.betas, eta=1.0, step_chunk=2
+    )
+    out = sample(jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 3)),
+                 key=jax.random.PRNGKey(5))
+    assert bool(jnp.isfinite(out).all())
