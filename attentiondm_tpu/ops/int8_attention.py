@@ -1,0 +1,157 @@
+"""Fused int8 spatial-attention core for the serving path.
+
+Takes the raw int32 accumulators of the q/k/v 1x1 int8 projections and emits
+the (already re-quantized) int8 input of the proj_out conv — the attention
+logits, softmax and probabilities never touch HBM:
+
+    in-VMEM per image:  q,k,v = int32 epilogue (per-channel dequant)
+                        qq,kq = dynamic symmetric int8 (per-image absmax)
+                        logits = qq kq^T   <- int8 MXU MACs
+                        probs  = softmax(logits * (sq sk / 127^2) * scale)
+                        out    = probs_bf16 @ v_bf16
+                        emit   clip(round(s_out*out - zp_out)) int8
+
+The QK^T contraction runs on the int8 MXU path (2x bf16 / 4.8x f32
+throughput); PV stays bf16 (probabilities are smooth — bf16 error ~0.4% —
+while logits int8 is guarded by dynamic per-image ranges).  SURVEY §5 calls
+for exactly this "blockwise attention with fused asymmetric dequant for the
+int8 QK^T path"; the reference never executes quantized attention MACs
+(utils/attention_quant_utils.py:77-102 fake-quantizes the f32 logits).
+
+Shapes: [B, L, C] with L the spatial token count.  L < 128 (the 4x4 mid
+block) or channel counts off the 128 lane grid fall back to the jnp
+reference implementation.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant_conv import _auto_interpret
+
+
+def _dyn_quant_i8(x):
+    """Per-image symmetric int8: returns (xq int8, scale f32 [bb, 1]).
+
+    Two sequential single-axis reductions — a fused axis=(1,2) keepdims
+    reduce crashes the Mosaic layout pass on int32-derived operands.
+    """
+    absmax = jnp.abs(x).max(axis=1).max(axis=-1, keepdims=True)  # [bb, 1]
+    s = jnp.maximum(absmax, 1e-12) / 127.0
+    return jnp.clip(jnp.round(x / s[:, :, None]), -127, 127).astype(jnp.int8), s
+
+
+def _attn_kernel(dq_ref, dk_ref, dv_ref, eq_ref, ek_ref, ev_ref, oq_ref, o_ref, *, scale, n_out):
+    q = dq_ref[:].astype(jnp.float32) * eq_ref[0:1, :] + eq_ref[1:2, :]
+    k = dk_ref[:].astype(jnp.float32) * ek_ref[0:1, :] + ek_ref[1:2, :]
+    v = dv_ref[:].astype(jnp.float32) * ev_ref[0:1, :] + ev_ref[1:2, :]
+
+    qq, sq = _dyn_quant_i8(q)
+    kq, sk = _dyn_quant_i8(k)
+    logits = jax.lax.dot_general(
+        qq, kq, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )  # [bb, L, L] int8 MACs
+    lf = logits.astype(jnp.float32) * ((sq * sk * scale)[:, :, None])
+
+    m = lf.max(axis=-1, keepdims=True)
+    p = jnp.exp(lf - m)
+    p = p / p.sum(axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )  # [bb, L, C]
+    o_ref[:] = jnp.clip(
+        jnp.round(oq_ref[0:1, :] * out - oq_ref[1:2, :]), -n_out, n_out - 1
+    ).astype(jnp.int8)
+
+
+def fused_int8_attention(
+    dotq: jax.Array,  # [B, L, C] int32 (q-projection accumulator)
+    dotk: jax.Array,
+    dotv: jax.Array,
+    epi_q,  # (inv_ws [C], zcbias [C]) per projection
+    epi_k,
+    epi_v,
+    out_scale: jax.Array,  # [C] proj_out activation quant scale
+    out_zp: jax.Array,
+    a_bit: int,
+    *,
+    scale: float,
+    block_b: int | None = None,
+    interpret: bool | None = None,
+):
+    """Fused attention core: int32 projections in, proj_out int8 input out."""
+    interpret = _auto_interpret(interpret)
+    B, L, C = dotq.shape
+    if L < 128 or C % 128 != 0 or L % 8 != 0 or L * C * 24 > 6 * 1024 * 1024:
+        return fused_int8_attention_reference(
+            dotq, dotk, dotv, epi_q, epi_k, epi_v, out_scale, out_zp, a_bit, scale=scale
+        )
+
+    if block_b is None:
+        # working set per image: 3 int32 inputs + f32 logits + temps
+        block_b = max(1, min(8, (4 * 1024 * 1024) // (L * C * 12 + L * L * 8)))
+    bb = block_b
+    Bp = (B + bb - 1) // bb * bb
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0), (0, 0))
+        dotq, dotk, dotv = (jnp.pad(a, pad) for a in (dotq, dotk, dotv))
+
+    packs = [
+        jnp.stack([a.astype(jnp.float32), b.astype(jnp.float32)])
+        for a, b in (epi_q, epi_k, epi_v, (out_scale, out_zp))
+    ]
+    n_out = 2 ** (a_bit - 1)
+
+    kern = functools.partial(_attn_kernel, scale=scale, n_out=n_out)
+    vec = pl.BlockSpec((2, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(Bp // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            vec, vec, vec, vec,
+        ],
+        out_specs=pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, C), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Bp * L * L * C + 30 * Bp * L * C,
+            bytes_accessed=12 * Bp * L * C + Bp * L * C,
+            transcendentals=Bp * L * L,
+        ),
+        interpret=interpret,
+    )(dotq, dotk, dotv, *packs)
+    return out[:B]
+
+
+def fused_int8_attention_reference(
+    dotq, dotk, dotv, epi_q, epi_k, epi_v, out_scale, out_zp, a_bit, *, scale
+):
+    """jnp oracle (and small-shape fallback): same math, XLA-fused.
+
+    Keeps the dynamic int8 logits quantization and bf16 PV so the fallback is
+    numerically equivalent to the kernel, not merely close.
+    """
+    q = dotq.astype(jnp.float32) * epi_q[0] + epi_q[1]
+    k = dotk.astype(jnp.float32) * epi_k[0] + epi_k[1]
+    v = dotv.astype(jnp.float32) * epi_v[0] + epi_v[1]
+    qq, sq = _dyn_quant_i8(q)
+    kq, sk = _dyn_quant_i8(k)
+    logits = jax.lax.dot_general(
+        qq, kq, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )
+    lf = logits.astype(jnp.float32) * ((sq * sk * scale)[:, :, None])
+    p = jax.nn.softmax(lf, axis=-1)
+    out = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )
+    n = 2 ** (a_bit - 1)
+    return jnp.clip(jnp.round(out_scale * out - out_zp), -n, n - 1).astype(jnp.int8)

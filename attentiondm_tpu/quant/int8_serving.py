@@ -324,13 +324,15 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
     return (x_sc + h).astype(res_dtype)
 
 
-def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype):
+def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_int8):
     """DDIM single-head attention with int8 q/k/v/proj projections.
 
     One GN pass quantizes the normalized tensor at three per-layer scales
-    (multi-output), the 1x1 projections run as int8 convs, the attention core
-    stays f32 (int8 QK^T is a separate work item), and proj_out's epilogue
-    fuses with the residual add.
+    (multi-output) and the 1x1 projections run as int8 convs.  With
+    `attn_int8` the whole attention core is the fused Pallas kernel
+    (ops/int8_attention.py): int32 accumulators in, int8 proj_out input out —
+    logits run as int8 MXU MACs and softmax never touches HBM.  Otherwise
+    the core stays f32 einsums.
     """
     B, H, W, C = h_res.shape
     names = [f"{name}.{k}" for k in ("q", "k", "v", "proj_out")]
@@ -341,12 +343,26 @@ def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype):
         lq, lk, lv, lo = lays
         qp = [(l.act_scale, l.act_zp, pol.a_bit) for l, pol in zip(lays[:3], pols[:3])]
         hq, hk, hv = gn_act_quant_xla(hf, p["norm"], qp, act="none")
-        q = _epilogue(int8_conv(hq, lq.gq, 1), lq, C)
-        k = _epilogue(int8_conv(hk, lk.gq, 1), lk, C)
-        v = _epilogue(int8_conv(hv, lv.gq, 1), lv, C)
-        q, k, v = (a.reshape(B, H * W, C) for a in (q, k, v))
-        h = spatial_attention(q, k, v, scale=C**-0.5).reshape(B, H, W, C)
-        oq = _quant_i8(h, lo.act_scale, lo.act_zp, pols[3].a_bit)
+        if attn_int8 and lq.zcbias.shape[-1] == C:
+            from ..ops.int8_attention import fused_int8_attention
+
+            L = H * W
+            dots = [
+                int8_conv(a, l.gq, 1).reshape(B, L, C)
+                for a, l in ((hq, lq), (hk, lk), (hv, lv))
+            ]
+            oq = fused_int8_attention(
+                dots[0], dots[1], dots[2],
+                (lq.inv_ws, lq.zcbias), (lk.inv_ws, lk.zcbias), (lv.inv_ws, lv.zcbias),
+                lo.act_scale, lo.act_zp, pols[3].a_bit, scale=C**-0.5,
+            ).reshape(B, H, W, C)
+        else:
+            q = _epilogue(int8_conv(hq, lq.gq, 1), lq, C)
+            k = _epilogue(int8_conv(hk, lk.gq, 1), lk, C)
+            v = _epilogue(int8_conv(hv, lv.gq, 1), lv, C)
+            q, k, v = (a.reshape(B, H * W, C) for a in (q, k, v))
+            h = spatial_attention(q, k, v, scale=C**-0.5).reshape(B, H, W, C)
+            oq = _quant_i8(h, lo.act_scale, lo.act_zp, pols[3].a_bit)
         out = _epilogue(int8_conv(oq, lo.gq, 1), lo, C)
     else:
         h = group_norm(hf, p["norm"])
@@ -376,6 +392,7 @@ def serving_unet_apply(
     step_idx,
     *,
     residual_dtype=jnp.float32,
+    attn_int8: bool = True,
 ) -> jax.Array:
     """Fused int8-resident forward.  Mirrors models/unet.py::unet_apply
     (inference path) — there is a test asserting the two stay in lockstep.
@@ -408,7 +425,7 @@ def serving_unet_apply(
             if lp["attn"]:
                 h = _attn_fused(
                     f"down.{i_level}.attn.{i_block}", lp["attn"][i_block], h,
-                    rt_i, qunet, qstates, step_idx, residual_dtype,
+                    rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8,
                 )
             hs.append(h)
         if i_level != num_levels - 1:
@@ -424,7 +441,7 @@ def serving_unet_apply(
 
     h = hs[-1]
     h = _resblock_fused("mid.block_1", params["mid"]["block_1"], h, temb, rt_i, qunet, qstates, step_idx, residual_dtype)
-    h = _attn_fused("mid.attn_1", params["mid"]["attn_1"], h, rt_i, qunet, qstates, step_idx, residual_dtype)
+    h = _attn_fused("mid.attn_1", params["mid"]["attn_1"], h, rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8)
     h = _resblock_fused("mid.block_2", params["mid"]["block_2"], h, temb, rt_i, qunet, qstates, step_idx, residual_dtype)
 
     for i_level in reversed(range(num_levels)):
@@ -438,7 +455,7 @@ def serving_unet_apply(
             if lp["attn"]:
                 h = _attn_fused(
                     f"up.{i_level}.attn.{i_block}", lp["attn"][i_block], h,
-                    rt_i, qunet, qstates, step_idx, residual_dtype,
+                    rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8,
                 )
         if i_level != 0:
             B_, H_, W_, C_ = h.shape
@@ -481,6 +498,7 @@ def serving_ddim_sampler(
     step_chunk: int | None = None,
     residual_dtype=jnp.float32,
     symmetric: bool = True,
+    attn_int8: bool = True,
 ):
     """Build a jitted DDIM sampler over the fused int8 serving path.
 
@@ -506,7 +524,7 @@ def serving_ddim_sampler(
             t_i, at_i, atn_i, idx = inp
             et = serving_unet_apply(
                 p_, qunet.cfg, qunet, rt_, qs_, xt, jnp.full((n,), t_i, jnp.float32),
-                idx, residual_dtype=residual_dtype,
+                idx, residual_dtype=residual_dtype, attn_int8=attn_int8,
             )
             from ..diffusion.sampling import ddim_step
 
@@ -554,13 +572,14 @@ def serving_model_fn(
     qstates: Dict[str, ActQuantState],
     *,
     residual_dtype=jnp.float32,
+    attn_int8: bool = True,
 ):
     """Sampler-compatible `(x, t, step_idx) -> eps` closure (RAW params)."""
 
     def fn(x, t, step_idx):
         return serving_unet_apply(
             params, qunet.cfg, qunet, runtime, qstates, x, t, step_idx,
-            residual_dtype=residual_dtype,
+            residual_dtype=residual_dtype, attn_int8=attn_int8,
         )
 
     return fn

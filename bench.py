@@ -46,34 +46,27 @@ def main():
     qunet = QuantizedUNet.create(cfg, bitwidth=4, a_bitwidth=8)  # W4A8
     qstates = qunet.init_state(steps)
     qstates = calibrate_ranges(qunet, params, qstates, xs_in, seq, first=True)
-    qparams, _ = qunet.prepare_params(params)
 
-    # --- timed: quantized DDIM-100 sampling, batch 256.
-    # NOTE: timing pulls a scalar to host each run — under the axon relay,
-    # block_until_ready alone returns before execution finishes.
+    # --- timed: quantized DDIM-100 sampling on the fused int8 serving path
+    # (quant/int8_serving.py — true int8 execution, int8-resident
+    # activations).  NOTE: timing pulls a scalar to host each run — under the
+    # axon relay, block_until_ready alone returns before execution finishes.
+    from attentiondm_tpu.quant.int8_serving import serving_ddim_sampler
+
     batch = 256
-
-    def apply(state, xt, t, i):
-        qp, qs = state
-        return qunet.apply(qp, qs, xt, t, i)
-
-    mstate = (qparams, qstates)
-    # state passes through jit as an ARGUMENT (closure constants inflate the
-    # compile payload past this image's remote-compile limits)
-    f = jax.jit(
-        lambda st, x: ddim_sample(lambda xt, t, i: apply(st, xt, t, i), x, seq, sched.betas)
+    sample = serving_ddim_sampler(
+        qunet, params, qstates, seq, sched.betas,
+        residual_dtype=jnp.float32, attn_int8=False,
     )
-    g = jax.jit(lambda st, x: f(st, x).sum())
     x = jax.random.normal(jax.random.PRNGKey(2), (batch, 32, 32, 3))
-    out = f(mstate, x)  # compile
-    assert bool(jnp.isfinite(out).all()), "non-finite samples"
-    float(g(mstate, x))  # compile the summed variant
+    out_sum = float(sample(x).sum())  # compile
+    assert np.isfinite(out_sum), "non-finite samples"
 
     times = []
     for i in range(3):
         x = jax.random.normal(jax.random.PRNGKey(3 + i), (batch, 32, 32, 3))
         t0 = time.perf_counter()
-        s = float(g(mstate, x))
+        s = float(sample(x).sum())
         times.append(time.perf_counter() - t0)
         assert np.isfinite(s)
     best = min(times)

@@ -41,7 +41,8 @@ def test_serving_matches_interception_path():
     want = int8_model_fn(qunet, prepare_int8_runtime(qunet, params, qstates), params, qstates)(
         x, t, jnp.asarray(0)
     )
-    got = serving_model_fn(qunet, runtime, params, qstates)(x, t, jnp.asarray(0))
+    # attn_int8=False: attention core f32 like the interception path
+    got = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(x, t, jnp.asarray(0))
     assert got.shape == want.shape
     # same weight fold + same activation grid; only GroupNorm float-order
     # details and rounding ties differ between the fused and unfused chains
@@ -92,6 +93,78 @@ def test_chunked_sampler_equals_unchunked():
     np.testing.assert_allclose(
         np.asarray(full(x)), np.asarray(chunked(x)), rtol=1e-5, atol=1e-6
     )
+
+
+def test_serving_int8_attention_close_to_f32_core():
+    """Dynamic int8 QK^T + bf16 PV vs the f32 attention core."""
+    cfg, params, qunet, qstates, xs, _ = _setup()
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    x = xs[0]
+    t = jnp.full((2,), 5.0)
+    f32core = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(
+        x, t, jnp.asarray(0)
+    )
+    i8core = serving_model_fn(qunet, runtime, params, qstates, attn_int8=True)(
+        x, t, jnp.asarray(0)
+    )
+    rel = float(jnp.abs(i8core - f32core).mean() / (jnp.abs(f32core).mean() + 1e-9))
+    assert rel < 0.02, rel
+
+
+def test_fused_int8_attention_kernel_matches_reference():
+    """Pallas attention kernel vs its jnp oracle at an MXU-aligned shape."""
+    from attentiondm_tpu.ops.int8_attention import (
+        fused_int8_attention,
+        fused_int8_attention_reference,
+    )
+
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 8)
+    B, L, C = 3, 256, 128
+    dots = [jax.random.randint(k, (B, L, C), -(2**15), 2**15, jnp.int32) for k in ks[:3]]
+    epis = [
+        (jnp.exp(0.1 * jax.random.normal(k, (C,))) * 1e-4, 0.1 * jax.random.normal(k2, (C,)))
+        for k, k2 in zip(ks[3:6], ks[5:8])
+    ]
+    s = jnp.full((C,), 20.0)
+    z = jnp.zeros((C,))
+    got = fused_int8_attention(
+        dots[0], dots[1], dots[2], *epis, s, z, 8, scale=C**-0.5, interpret=True
+    )
+    want = fused_int8_attention_reference(
+        dots[0], dots[1], dots[2], *epis, s, z, 8, scale=C**-0.5
+    )
+    assert got.dtype == jnp.int8 and got.shape == want.shape
+    frac = float(jnp.mean((got != want).astype(jnp.float32)))
+    assert frac < 2e-3, frac
+    assert int(jnp.abs(got.astype(jnp.int32) - want.astype(jnp.int32)).max()) <= 1
+
+
+def test_fused_int8_attention_exact_when_prequantized():
+    """With identity epilogues and integer-valued accumulators in [-127,127],
+    the dynamic quantization is exact and logits match f32 bit-for-bit."""
+    from attentiondm_tpu.ops.int8_attention import fused_int8_attention_reference
+
+    key = jax.random.PRNGKey(8)
+    B, L, C = 2, 64, 128
+    dq = jax.random.randint(key, (B, L, C), -127, 128, jnp.int32)
+    dk = jax.random.randint(jax.random.fold_in(key, 1), (B, L, C), -127, 128, jnp.int32)
+    dv = jax.random.randint(jax.random.fold_in(key, 2), (B, L, C), -4, 5, jnp.int32)
+    ident = (jnp.ones((C,)), jnp.zeros((C,)))
+    # force absmax=127 so scale==1 exactly
+    dq = dq.at[:, 0, 0].set(127)
+    dk = dk.at[:, 0, 0].set(127)
+    got = fused_int8_attention_reference(dq, dk, dv, ident, ident, ident,
+                                         jnp.full((C,), 4.0), jnp.zeros((C,)), 8,
+                                         scale=C**-0.5)
+    # f32 oracle with the same bf16 PV step
+    q = dq.astype(jnp.float32); k = dk.astype(jnp.float32); v = dv.astype(jnp.float32)
+    lf = jnp.einsum("blc,bmc->blm", q, k) * (C**-0.5)
+    p = jax.nn.softmax(lf, axis=-1)
+    out = jax.lax.dot_general(p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                              (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    want = jnp.clip(jnp.round(4.0 * out), -128, 127).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_serving_sampler_finite_with_eta():
