@@ -26,11 +26,22 @@ def make_timestep_seq(num_timesteps: int, steps: int, skip_type: str = "uniform"
     """Sub-sampled timestep sequence (increasing ints).
 
     Mirrors the reference's seq construction (runners/diffusion.py:319-329):
-    uniform -> range(0, T, T//steps); quad -> linspace(0, sqrt(0.8 T), steps)^2.
+    quad -> linspace(0, sqrt(0.8 T), steps)^2.  `uniform` yields EXACTLY
+    `steps` entries for any (T, steps) via linspace-floor — the reference's
+    range(0, T, T//steps) silently produces more when T % steps != 0 (e.g.
+    1000/300 -> 334); `uniform_ref` keeps that behavior for bit-exact parity.
     """
     if steps > num_timesteps:
         raise ValueError(f"steps ({steps}) cannot exceed num_timesteps ({num_timesteps})")
     if skip_type == "uniform":
+        skip = num_timesteps // steps
+        if num_timesteps % steps == 0:
+            seq = np.arange(0, num_timesteps, skip)  # == reference grid
+        else:
+            seq = np.floor(np.linspace(0, num_timesteps - skip, steps)).astype(np.int64)
+            seq = np.unique(seq)
+            assert len(seq) == steps, (num_timesteps, steps)
+    elif skip_type == "uniform_ref":
         skip = num_timesteps // steps
         seq = np.arange(0, num_timesteps, skip)
     elif skip_type == "quad":

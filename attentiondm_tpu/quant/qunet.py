@@ -41,30 +41,36 @@ ATTN_PROJS = ("q", "k", "v", "proj_out")
 
 
 def make_bit_policy(
-    cfg: UNetConfig, bitwidth: int, a_bitwidth: int | None = None
+    cfg: UNetConfig, bitwidth: int, a_bitwidth: int | None = None, group_num: int = 0
 ) -> Dict[str, ActQuantConfig]:
     """Static per-layer quantization configs, keyed by conv name.
 
     `bitwidth` is the weight bit-width; `a_bitwidth` the activation bit-width
     (defaults to the same — the reference CLI has one --bitwidth knob for
-    both, but W4A8-style splits are first-class here).
+    both, but W4A8-style splits are first-class here).  `group_num` > 0
+    overrides the per-layer group counts uniformly (the CLI's --normgroup;
+    the reference parsed the flag but wired it nowhere).
     """
     wb = bitwidth
     ab = bitwidth if a_bitwidth is None else a_bitwidth
+
+    def g(default):
+        return group_num if group_num > 0 else default
+
     policy = {}
     for name, _cin, _k in iter_conv_layers(cfg):
         leaf = name.rsplit(".", 1)[-1]
         if ".attn" in name or name.startswith("mid.attn"):
             if leaf in ("k", "key_conv"):
                 policy[name] = ActQuantConfig(
-                    w_bit=max(4, wb - 2), a_bit=max(4, ab - 2), group_num=8
+                    w_bit=max(4, wb - 2), a_bit=max(4, ab - 2), group_num=g(8)
                 )
             elif leaf in ("v", "value_conv"):
-                policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=4)
+                policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=g(4))
             else:  # q / query_conv, proj_out / output_conv
-                policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=8)
+                policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=g(8))
         else:
-            policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=8)
+            policy[name] = ActQuantConfig(w_bit=wb, a_bit=ab, group_num=g(8))
     return policy
 
 
@@ -188,8 +194,10 @@ class QuantizedUNet:
     policy: Dict[str, ActQuantConfig]
 
     @classmethod
-    def create(cls, cfg: UNetConfig, bitwidth: int, a_bitwidth: int | None = None) -> "QuantizedUNet":
-        return cls(cfg=cfg, policy=make_bit_policy(cfg, bitwidth, a_bitwidth))
+    def create(
+        cls, cfg: UNetConfig, bitwidth: int, a_bitwidth: int | None = None, group_num: int = 0
+    ) -> "QuantizedUNet":
+        return cls(cfg=cfg, policy=make_bit_policy(cfg, bitwidth, a_bitwidth, group_num))
 
     def init_state(self, num_steps: int) -> Dict[str, ActQuantState]:
         return init_qunet_state(self.cfg, num_steps, self.policy)

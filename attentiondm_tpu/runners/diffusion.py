@@ -227,7 +227,11 @@ class Diffusion:
                 self.betas,
                 key=jax.random.PRNGKey(args.seed + 99),
                 eta=args.eta,
-                diff_loss_weight=args.diff_loss_weight,
+                # the attention-focused stage weights its entropy term with
+                # --attention_loss_weight; --diff_loss_weight stays the
+                # general stage-2 knob (the reference parsed both but wired
+                # neither, main.py:93-98 / defect D12-adjacent)
+                diff_loss_weight=getattr(args, "attention_loss_weight", args.diff_loss_weight),
                 attention_focus=True,
             )
             logging.info(
@@ -288,7 +292,10 @@ class Diffusion:
 
             return apply, p, ("fp32" if cd is None else "fp-bf16")
         qunet = QuantizedUNet.create(
-            ucfg, bitwidth=args.bitwidth, a_bitwidth=getattr(args, "a_bitwidth", None)
+            ucfg,
+            bitwidth=args.bitwidth,
+            a_bitwidth=getattr(args, "a_bitwidth", None),
+            group_num=int(getattr(args, "normgroup", 0) or 0),
         )
         qstates = qunet.init_state(len(list(seq)))
         qstates, mp_states = self.calibrate_model(params, qunet, qstates, seq, first=True)
@@ -371,9 +378,12 @@ class Diffusion:
             t0 = time.time()
             while img_id < total:
                 n = min(batch, total - img_id)
-                n = max(n_dev, n - n % n_dev)
+                # round the GENERATED batch up to the device count (sharding
+                # needs it) but write only `n` PNGs, so the set lands on
+                # exactly `total` images — no final-batch overshoot
+                n_gen = max(n_dev, n + (-n) % n_dev)
                 sub = jax.random.fold_in(key, img_id // batch)
-                imgs = sample_batch(n, sub)
+                imgs = sample_batch(n_gen, sub)[:n]
                 # multithreaded C++ PNG encode (PIL fallback inside)
                 img_id += write_png_batch(imgs, args.image_folder, img_id)
                 rate = (img_id - start) / max(1e-9, time.time() - t0)
@@ -457,15 +467,24 @@ class Diffusion:
             )
             return loss
 
+        # --num_samples caps the evaluated example count (default 704 = 11
+        # batches of 64, a quick smoke eval); pass a large value for the
+        # full test set — the log always states the coverage explicitly.
+        max_examples = args.num_samples or 11 * batch
         losses = []
-        for i, (x, _y) in enumerate(iterate_batches(test_ds, batch, shuffle=False)):
+        seen = 0
+        for x, _y in iterate_batches(test_ds, batch, shuffle=False):
             x = data_transform(config, x)
             key, kt, ke = jax.random.split(key, 3)
             t = jax.random.randint(kt, (x.shape[0],), 0, self.num_timesteps)
             e = jax.random.normal(ke, x.shape)
             losses.append(float(eval_loss(params, jnp.asarray(x), t, e)))
-            if i >= 10:
+            seen += x.shape[0]
+            if seen >= max_examples:
                 break
         avg = float(np.mean(losses))
-        logging.info(f"test eps-MSE (sum over pixels): {avg:.4f} over {len(losses)} batches")
+        logging.info(
+            f"test eps-MSE (sum over pixels): {avg:.4f} over {seen}/{len(test_ds)} "
+            f"test examples ({len(losses)} batches; --num_samples raises the cap)"
+        )
         return avg

@@ -35,12 +35,13 @@ def parse_args_and_config():
     parser.add_argument("--ni", action="store_true", help="No interaction (Slurm-friendly)")
     parser.add_argument("--use_pretrained", action="store_true")
     parser.add_argument("--sample_type", type=str, default="generalized", help="generalized | ddpm_noisy")
-    parser.add_argument("--skip_type", type=str, default="uniform", help="uniform | quad")
+    parser.add_argument("--skip_type", type=str, default="uniform", help="uniform | uniform_ref | quad")
     parser.add_argument("--timesteps", type=int, default=1000, help="number of sampler steps")
     parser.add_argument("--eta", type=float, default=0.0, help="DDIM eta")
     parser.add_argument("--calibrate_attention", action="store_true",
                         help="Run stage-2 attention-focused calibration")
-    parser.add_argument("--attention_loss_weight", type=float, default=0.5)
+    parser.add_argument("--attention_loss_weight", type=float, default=0.5,
+                        help="entropy weight for the attention-focused stage-2 calibration")
     parser.add_argument("--calib_t_mode", default="real", type=str,
                         choices=["real", "range", "diff", "random"])
     parser.add_argument("--sequence", action="store_true")
@@ -51,7 +52,8 @@ def parse_args_and_config():
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="activation dtype for the sampling forward pass")
-    parser.add_argument("--normgroup", type=bool, default=False)
+    parser.add_argument("--normgroup", type=int, default=0,
+                        help="override quantization group count for every layer (0 = per-layer defaults)")
     parser.add_argument("--attn_variant", type=str, default="ddim", choices=["ddim", "enhanced"],
                         help="attention block flavor (enhanced = per-projection quantized MHA)")
     parser.add_argument("--mixed_precision_attention", action="store_true",

@@ -196,3 +196,18 @@ def test_alpha_uncertainty_shape(setup):
     u = alpha_uncertainty(qstates, 7)
     assert u.shape == (7,)
     assert bool((u > 0).all())
+
+
+def test_normgroup_overrides_group_counts():
+    """--normgroup wires through make_bit_policy (the reference parsed the
+    flag but consumed it nowhere, SURVEY defect D12-adjacent)."""
+    from attentiondm_tpu.models import UNetConfig
+    from attentiondm_tpu.quant.qunet import make_bit_policy
+
+    cfg = UNetConfig(ch=64, ch_mult=(1,), num_res_blocks=1, attn_resolutions=(8,), resolution=8)
+    default = make_bit_policy(cfg, 8)
+    assert {p.group_num for p in default.values()} == {4, 8}  # v-proj uses 4
+    forced = make_bit_policy(cfg, 8, group_num=16)
+    assert {p.group_num for p in forced.values()} == {16}
+    # key projection keeps its reduced bit-width either way
+    assert forced["mid.attn_1.k"].w_bit == 6

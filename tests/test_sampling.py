@@ -22,6 +22,23 @@ def test_make_timestep_seq_uniform():
     assert seq[0] == 0 and seq[-1] == 990
 
 
+def test_make_timestep_seq_uniform_exact_count():
+    """`uniform` yields exactly `steps` strictly-increasing entries for ANY
+    (T, steps) — the reference overshoots when T % steps != 0 (e.g.
+    1000/300 -> 334 entries); `uniform_ref` preserves that for parity."""
+    import numpy as np
+
+    for T, steps in [(1000, 300), (1000, 100), (1000, 7), (100, 99), (17, 5), (1000, 1000)]:
+        seq = make_timestep_seq(T, steps, "uniform")
+        assert len(seq) == steps, (T, steps, len(seq))
+        assert (np.diff(seq) > 0).all()
+        assert seq[0] == 0 and seq[-1] < T
+        if T % steps == 0:
+            np.testing.assert_array_equal(seq, np.arange(0, T, T // steps))
+    ref = make_timestep_seq(1000, 300, "uniform_ref")
+    assert len(ref) == 334  # reference behavior, kept for bit-exact parity
+
+
 def test_make_timestep_seq_quad():
     seq = make_timestep_seq(1000, 100, "quad")
     assert len(seq) == 100
