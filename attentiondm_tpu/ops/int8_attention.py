@@ -131,6 +131,110 @@ def fused_int8_attention(
     return out[:B]
 
 
+# ---------------------------------------------------------------------------
+# static-scale variant: int8 inputs, calibrated per-step scales
+# ---------------------------------------------------------------------------
+
+
+def _static_attn_kernel(qq_ref, kq_ref, vq_ref, sc_ref, oq_ref, o_ref, *, scale, n_out):
+    sq = sc_ref[0, 0]
+    sk = sc_ref[0, 1]
+    sv = sc_ref[0, 2]
+    logits = jax.lax.dot_general(
+        qq_ref[:], kq_ref[:], (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )
+    lf = logits.astype(jnp.float32) * (sq * sk * scale)
+    m = lf.max(axis=-1, keepdims=True)
+    p = jnp.exp(lf - m)
+    p = p / p.sum(axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), vq_ref[:].astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    ) * sv
+    o_ref[:] = jnp.clip(
+        jnp.round(oq_ref[0:1, :] * out - oq_ref[1:2, :]), -n_out, n_out - 1
+    ).astype(jnp.int8)
+
+
+def fused_int8_attention_static(
+    qq: jax.Array,  # [B, L, C] int8 (statically quantized q-projection)
+    kq: jax.Array,
+    vq: jax.Array,
+    sq: jax.Array,  # [] per-step scalar dequant scales (absmax/127)
+    sk: jax.Array,
+    sv: jax.Array,
+    out_scale: jax.Array,  # [C] proj_out activation quant params
+    out_zp: jax.Array,
+    a_bit: int,
+    *,
+    scale: float,
+    block_b: int | None = None,
+    interpret: bool | None = None,
+):
+    """Attention core with CALIBRATED per-step scales: int8 in, int8 out.
+
+    Unlike the dynamic variant, quantization happens upstream (fused by XLA
+    into the projection epilogues), so this kernel's HBM traffic is 4x
+    smaller (int8 reads instead of int32) and no absmax passes exist at all.
+    The QK^T contraction runs int8 MACs; PV runs bf16 with the v scale
+    folded into the output epilogue.
+    """
+    interpret = _auto_interpret(interpret)
+    B, L, C = qq.shape
+    scalars = jnp.stack([sq, sk, sv]).astype(jnp.float32).reshape(1, 3)
+    if L < 128 or C % 128 != 0 or L % 8 != 0 or L * C * 24 > 6 * 1024 * 1024:
+        return fused_int8_attention_static_reference(
+            qq, kq, vq, sq, sk, sv, out_scale, out_zp, a_bit, scale=scale
+        )
+    if block_b is None:
+        block_b = max(1, min(8, (4 * 1024 * 1024) // (L * C * 6 + L * L * 8)))
+    bb = block_b
+    Bp = (B + bb - 1) // bb * bb
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0), (0, 0))
+        qq, kq, vq = (jnp.pad(a, pad) for a in (qq, kq, vq))
+    oq = jnp.stack([out_scale.astype(jnp.float32), out_zp.astype(jnp.float32)])
+    n_out = 2 ** (a_bit - 1)
+
+    kern = functools.partial(_static_attn_kernel, scale=scale, n_out=n_out)
+    out = pl.pallas_call(
+        kern,
+        grid=(Bp // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, C), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Bp * L * L * C + 10 * Bp * L * C,
+            bytes_accessed=4 * Bp * L * C,
+            transcendentals=Bp * L * L,
+        ),
+        interpret=interpret,
+    )(qq, kq, vq, scalars, oq)
+    return out[:B]
+
+
+def fused_int8_attention_static_reference(
+    qq, kq, vq, sq, sk, sv, out_scale, out_zp, a_bit, *, scale
+):
+    logits = jax.lax.dot_general(
+        qq, kq, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )
+    lf = logits.astype(jnp.float32) * (sq * sk * scale)
+    p = jax.nn.softmax(lf, axis=-1)
+    out = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), vq.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    ) * sv
+    n = 2 ** (a_bit - 1)
+    return jnp.clip(jnp.round(out_scale * out - out_zp), -n, n - 1).astype(jnp.int8)
+
+
 def fused_int8_attention_reference(
     dotq, dotk, dotv, epi_q, epi_k, epi_v, out_scale, out_zp, a_bit, *, scale
 ):

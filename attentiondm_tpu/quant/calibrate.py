@@ -97,6 +97,11 @@ def _calibrate_one_conv(x, st: ActQuantState, cfg: ActQuantConfig, s, first: boo
     return updates, xq
 
 
+def _is_attn_proj(name: str) -> bool:
+    leaf = name.rsplit(".", 1)[-1]
+    return (".attn" in name or name.startswith("mid.attn")) and leaf in ("q", "k", "v")
+
+
 def calibrate_ranges_step(
     qunet: QuantizedUNet,
     params,
@@ -107,15 +112,23 @@ def calibrate_ranges_step(
     first: bool,
 ):
     """One calibration forward at step `s`: collect + update every conv's
-    ranges; activations propagate QUANTIZED (as the reference does)."""
+    ranges; activations propagate QUANTIZED (as the reference does).
+
+    Also records each attention q/k/v projection's OUTPUT absmax — the
+    static per-step scales the int8 QK^T serving path quantizes with
+    (ops/int8_attention.fused_int8_attention_static)."""
     updates: dict = {}
+    attn_absmax: dict = {}
 
     def conv_apply(name, xin, p, *, stride=1, padding="SAME"):
         if name not in qstates:
             return conv2d(xin, p, stride=stride, padding=padding)
         upd, xq = _calibrate_one_conv(xin, qstates[name], qunet.policy[name], s, first)
         updates[name] = upd
-        return conv2d(xq, p, stride=stride, padding=padding)
+        out = conv2d(xq, p, stride=stride, padding=padding)
+        if _is_attn_proj(name):
+            attn_absmax[name] = jnp.abs(out).max()
+        return out
 
     eps = unet_apply(params, qunet.cfg, x, t, conv_apply=conv_apply)
 
@@ -129,7 +142,7 @@ def calibrate_ranges_step(
             group_ranges=st.group_ranges.at[s].set(u["group_ranges"]),
             alpha_logits=st.alpha_logits,
         )
-    return new_states, eps
+    return new_states, attn_absmax, eps
 
 
 def calibrate_ranges(
@@ -139,11 +152,16 @@ def calibrate_ranges(
     xs: jax.Array,  # [S, N, H, W, C] trajectory inputs (FP teacher x_t per step)
     seq: Sequence[int],
     first: bool = True,
+    return_attn_ranges: bool = False,
 ):
     """Stage-1 calibration over the whole sampler trajectory.
 
     `xs[i]` must be the model input at sampling step i (i.e. x_t for
     t = reversed(seq)[i]).  One jitted step function, reused S times.
+
+    With `return_attn_ranges` also returns {proj_name: [S]} absmax of each
+    attention q/k/v projection output per step — the static scales for the
+    int8 QK^T serving attention.
     """
     t_rev = np.asarray(list(seq))[::-1]
     n = xs.shape[1]
@@ -152,12 +170,20 @@ def calibrate_ranges(
     # overflow remote-compile payload limits on big models)
     @jax.jit
     def step(p, qs, x, t, s):
-        return calibrate_ranges_step(qunet, p, qs, x, t, s, first)[0]
+        new_qs, absmax, _ = calibrate_ranges_step(qunet, p, qs, x, t, s, first)
+        return new_qs, absmax
 
+    collected: list = []
     for i in range(xs.shape[0]):
         t_vec = jnp.full((n,), float(t_rev[i]), jnp.float32)
-        qstates = step(params, qstates, xs[i], t_vec, jnp.asarray(i))
-    return qstates
+        qstates, absmax = step(params, qstates, xs[i], t_vec, jnp.asarray(i))
+        collected.append(absmax)
+    if not return_attn_ranges:
+        return qstates
+    attn_ranges = {
+        name: jnp.stack([c[name] for c in collected]) for name in (collected[0] if collected else {})
+    }
+    return qstates, attn_ranges
 
 
 # ---------------------------------------------------------------------------

@@ -324,7 +324,7 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
     return (x_sc + h).astype(res_dtype)
 
 
-def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_int8):
+def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_int8, ar_i=None):
     """DDIM single-head attention with int8 q/k/v/proj projections.
 
     One GN pass quantizes the normalized tensor at three per-layer scales
@@ -344,18 +344,38 @@ def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_
         qp = [(l.act_scale, l.act_zp, pol.a_bit) for l, pol in zip(lays[:3], pols[:3])]
         hq, hk, hv = gn_act_quant_xla(hf, p["norm"], qp, act="none")
         if attn_int8 and lq.zcbias.shape[-1] == C:
-            from ..ops.int8_attention import fused_int8_attention
-
             L = H * W
             dots = [
                 int8_conv(a, l.gq, 1).reshape(B, L, C)
                 for a, l in ((hq, lq), (hk, lk), (hv, lv))
             ]
-            oq = fused_int8_attention(
-                dots[0], dots[1], dots[2],
-                (lq.inv_ws, lq.zcbias), (lk.inv_ws, lk.zcbias), (lv.inv_ws, lv.zcbias),
-                lo.act_scale, lo.act_zp, pols[3].a_bit, scale=C**-0.5,
-            ).reshape(B, H, W, C)
+            scales = None
+            if ar_i is not None and all(f"{name}.{k}" in ar_i for k in ("q", "k", "v")):
+                scales = [jnp.maximum(ar_i[f"{name}.{k}"], 1e-12) / 127.0 for k in ("q", "k", "v")]
+            if scales is not None:
+                # static calibrated per-step scales: quantize fuses into the
+                # projection epilogues (XLA), the kernel reads int8
+                from ..ops.int8_attention import fused_int8_attention_static
+
+                q8, k8, v8 = (
+                    jnp.clip(
+                        jnp.round((d.astype(jnp.float32) * l.inv_ws + l.zcbias) / sc),
+                        -127, 127,
+                    ).astype(jnp.int8)
+                    for d, l, sc in zip(dots, (lq, lk, lv), scales)
+                )
+                oq = fused_int8_attention_static(
+                    q8, k8, v8, scales[0], scales[1], scales[2],
+                    lo.act_scale, lo.act_zp, pols[3].a_bit, scale=C**-0.5,
+                ).reshape(B, H, W, C)
+            else:
+                from ..ops.int8_attention import fused_int8_attention
+
+                oq = fused_int8_attention(
+                    dots[0], dots[1], dots[2],
+                    (lq.inv_ws, lq.zcbias), (lk.inv_ws, lk.zcbias), (lv.inv_ws, lv.zcbias),
+                    lo.act_scale, lo.act_zp, pols[3].a_bit, scale=C**-0.5,
+                ).reshape(B, H, W, C)
         else:
             q = _epilogue(int8_conv(hq, lq.gq, 1), lq, C)
             k = _epilogue(int8_conv(hk, lk.gq, 1), lk, C)
@@ -393,6 +413,7 @@ def serving_unet_apply(
     *,
     residual_dtype=jnp.float32,
     attn_int8: bool = True,
+    attn_ranges=None,
 ) -> jax.Array:
     """Fused int8-resident forward.  Mirrors models/unet.py::unet_apply
     (inference path) — there is a test asserting the two stay in lockstep.
@@ -403,6 +424,7 @@ def serving_unet_apply(
     if cfg.attn_variant != "ddim":
         raise NotImplementedError("serving path supports the ddim attention variant")
     rt_i = gather_step(runtime, step_idx)
+    ar_i = None if attn_ranges is None else jax.tree_util.tree_map(lambda a: a[step_idx], attn_ranges)
     num_levels = len(cfg.ch_mult)
 
     temb = get_timestep_embedding(t, cfg.ch)
@@ -425,7 +447,7 @@ def serving_unet_apply(
             if lp["attn"]:
                 h = _attn_fused(
                     f"down.{i_level}.attn.{i_block}", lp["attn"][i_block], h,
-                    rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8,
+                    rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8, ar_i,
                 )
             hs.append(h)
         if i_level != num_levels - 1:
@@ -441,7 +463,7 @@ def serving_unet_apply(
 
     h = hs[-1]
     h = _resblock_fused("mid.block_1", params["mid"]["block_1"], h, temb, rt_i, qunet, qstates, step_idx, residual_dtype)
-    h = _attn_fused("mid.attn_1", params["mid"]["attn_1"], h, rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8)
+    h = _attn_fused("mid.attn_1", params["mid"]["attn_1"], h, rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8, ar_i)
     h = _resblock_fused("mid.block_2", params["mid"]["block_2"], h, temb, rt_i, qunet, qstates, step_idx, residual_dtype)
 
     for i_level in reversed(range(num_levels)):
@@ -455,7 +477,7 @@ def serving_unet_apply(
             if lp["attn"]:
                 h = _attn_fused(
                     f"up.{i_level}.attn.{i_block}", lp["attn"][i_block], h,
-                    rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8,
+                    rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8, ar_i,
                 )
         if i_level != 0:
             B_, H_, W_, C_ = h.shape
@@ -499,6 +521,7 @@ def serving_ddim_sampler(
     residual_dtype=jnp.float32,
     symmetric: bool = True,
     attn_int8: bool = True,
+    attn_ranges=None,
 ):
     """Build a jitted DDIM sampler over the fused int8 serving path.
 
@@ -516,7 +539,7 @@ def serving_ddim_sampler(
     t_rev, _, at, at_next = _seq_alphas(betas, seq)
     S = t_rev.shape[0]
 
-    def _scan_segment(p_, qs_, rt_, x, key, t_seg, at_seg, atn_seg):
+    def _scan_segment(p_, qs_, rt_, ar_, x, key, t_seg, at_seg, atn_seg):
         n = x.shape[0]
 
         def body(carry, inp):
@@ -524,7 +547,7 @@ def serving_ddim_sampler(
             t_i, at_i, atn_i, idx = inp
             et = serving_unet_apply(
                 p_, qunet.cfg, qunet, rt_, qs_, xt, jnp.full((n,), t_i, jnp.float32),
-                idx, residual_dtype=residual_dtype, attn_int8=attn_int8,
+                idx, residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=ar_,
             )
             from ..diffusion.sampling import ddim_step
 
@@ -544,7 +567,7 @@ def serving_ddim_sampler(
 
         def sample(x, key=None):
             key = jax.random.PRNGKey(0) if key is None else key
-            xf, _ = seg_jit(params, qstates, runtime, x, key,
+            xf, _ = seg_jit(params, qstates, runtime, attn_ranges, x, key,
                             t_rev.astype(jnp.float32), at, at_next)
             return xf
 
@@ -558,7 +581,8 @@ def serving_ddim_sampler(
             sl = slice(c0, c1)
             rt = prepare_serving_runtime(qunet, params, qstates, symmetric=symmetric, steps=sl)
             qs = _slice_states(qstates, sl)
-            x, key = seg_jit(params, qs, rt, x, key,
+            ar = None if attn_ranges is None else jax.tree_util.tree_map(lambda a: a[sl], attn_ranges)
+            x, key = seg_jit(params, qs, rt, ar, x, key,
                              t_rev[sl].astype(jnp.float32), at[sl], at_next[sl])
         return x
 
@@ -573,13 +597,14 @@ def serving_model_fn(
     *,
     residual_dtype=jnp.float32,
     attn_int8: bool = True,
+    attn_ranges=None,
 ):
     """Sampler-compatible `(x, t, step_idx) -> eps` closure (RAW params)."""
 
     def fn(x, t, step_idx):
         return serving_unet_apply(
             params, qunet.cfg, qunet, runtime, qstates, x, t, step_idx,
-            residual_dtype=residual_dtype, attn_int8=attn_int8,
+            residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=attn_ranges,
         )
 
     return fn

@@ -146,6 +146,11 @@ class Diffusion:
             ema_rate=config.model.ema_rate if config.model.ema else None,
         )
         logger = MetricsLogger(os.path.join(args.log_path, "train_metrics.csv"))
+        # TensorBoard train-loss stream (reference: main.py:129 tb_path +
+        # runners/diffusion.py:157 add_scalar) — dependency-free writer
+        from ..utils.tb_writer import SummaryWriter
+
+        tb_logger = SummaryWriter(os.path.join(args.exp, "tensorboard", args.doc))
 
         step = start_step
         key = jax.random.PRNGKey(args.seed + 1)
@@ -161,6 +166,7 @@ class Diffusion:
                 loss = float(loss)
                 logging.info(f"step: {step}, loss: {loss:.5f}, data time: {data_time:.3f}")
                 logger.log(step, loss=loss, data_s=round(data_time, 4), epoch=epoch)
+                tb_logger.add_scalar("loss", loss, step)
                 if step % config.training.snapshot_freq == 0 or step == 1:
                     ckpt_io.save_checkpoint(
                         os.path.join(args.log_path, f"ckpt_{step}.npz"), state

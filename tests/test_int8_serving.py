@@ -179,3 +179,48 @@ def test_serving_sampler_finite_with_eta():
     out = sample(jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 3)),
                  key=jax.random.PRNGKey(5))
     assert bool(jnp.isfinite(out).all())
+
+
+def test_static_int8_attention_matches_its_reference():
+    from attentiondm_tpu.ops.int8_attention import (
+        fused_int8_attention_static,
+        fused_int8_attention_static_reference,
+    )
+
+    key = jax.random.PRNGKey(9)
+    ks = jax.random.split(key, 3)
+    B, L, C = 2, 128, 128
+    q8, k8, v8 = (jax.random.randint(k, (B, L, C), -127, 128, jnp.int8) for k in ks)
+    sq, sk, sv = jnp.asarray(0.03), jnp.asarray(0.05), jnp.asarray(0.02)
+    s = jnp.full((C,), 15.0)
+    z = jnp.zeros((C,))
+    got = fused_int8_attention_static(
+        q8, k8, v8, sq, sk, sv, s, z, 8, scale=C**-0.5, interpret=True
+    )
+    want = fused_int8_attention_static_reference(q8, k8, v8, sq, sk, sv, s, z, 8, scale=C**-0.5)
+    frac = float(jnp.mean((got != want).astype(jnp.float32)))
+    assert frac < 2e-3, frac
+    assert int(jnp.abs(got.astype(jnp.int32) - want.astype(jnp.int32)).max()) <= 1
+
+
+def test_serving_static_attn_ranges_close_to_f32_core():
+    """Calibrated static int8 QK^T attention tracks the f32 attention core."""
+    cfg, params, qunet, qstates, xs, seq = _setup()
+    qstates2 = qunet.init_state(2)
+    res = calibrate_ranges(qunet, params, qstates2, xs, seq, first=True, return_attn_ranges=True)
+    qstates2, attn_ranges = res
+    assert any(n.endswith(".q") for n in attn_ranges), attn_ranges.keys()
+    assert all(a.shape == (2,) for a in attn_ranges.values())
+    runtime = prepare_serving_runtime(qunet, params, qstates2)
+    x = xs[0]
+    t = jnp.full((2,), 5.0)
+    f32core = serving_model_fn(qunet, runtime, params, qstates2, attn_int8=False)(
+        x, t, jnp.asarray(0)
+    )
+    static = serving_model_fn(
+        qunet, runtime, params, qstates2, attn_int8=True, attn_ranges=attn_ranges
+    )(x, t, jnp.asarray(0))
+    rel = float(jnp.abs(static - f32core).mean() / (jnp.abs(f32core).mean() + 1e-9))
+    # static scales come from the calibration batch, so slight clipping on a
+    # different eval batch is expected — looser bound than the dynamic core
+    assert rel < 0.03, rel

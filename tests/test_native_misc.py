@@ -77,3 +77,73 @@ def test_log_every(caplog):
     assert out == [0, 2, 4, 6, 8]
     assert any("[0/5]" in r.message for r in caplog.records)
     assert any("total" in r.message for r in caplog.records)
+
+
+def test_crc32c_known_answer():
+    from attentiondm_tpu.utils.tb_writer import crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283  # canonical CRC-32C check value
+    assert crc32c(b"") == 0
+
+
+def test_tb_writer_roundtrip(tmp_path):
+    """Write scalars, then decode the tfevents file with an independent
+    TFRecord/proto parser and recover (tag, step, value)."""
+    import struct
+
+    from attentiondm_tpu.utils.tb_writer import SummaryWriter, _masked_crc
+
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("loss", 0.5, 1)
+    w.add_scalar("loss", 0.25, 2)
+    w.close()
+
+    data = open(w.path, "rb").read()
+    records = []
+    off = 0
+    while off < len(data):
+        (ln,) = struct.unpack_from("<Q", data, off)
+        (hcrc,) = struct.unpack_from("<I", data, off + 8)
+        assert hcrc == _masked_crc(data[off : off + 8])
+        payload = data[off + 12 : off + 12 + ln]
+        (pcrc,) = struct.unpack_from("<I", data, off + 12 + ln)
+        assert pcrc == _masked_crc(payload)
+        records.append(payload)
+        off += 12 + ln + 4
+
+    def read_varint(b, i):
+        out = shift = 0
+        while True:
+            out |= (b[i] & 0x7F) << shift
+            shift += 7
+            i += 1
+            if not b[i - 1] & 0x80:
+                return out, i
+
+    def parse(b):
+        fields = {}
+        i = 0
+        while i < len(b):
+            key, i = read_varint(b, i)
+            num, wt = key >> 3, key & 7
+            if wt == 0:
+                v, i = read_varint(b, i)
+            elif wt == 1:
+                v = struct.unpack_from("<d", b, i)[0]; i += 8
+            elif wt == 5:
+                v = struct.unpack_from("<f", b, i)[0]; i += 4
+            elif wt == 2:
+                ln, i = read_varint(b, i)
+                v = b[i : i + ln]; i += ln
+            fields.setdefault(num, []).append(v)
+        return fields
+
+    ev0 = parse(records[0])
+    assert ev0[3][0] == b"brain.Event:2"
+    scalars = []
+    for rec in records[1:]:
+        ev = parse(rec)
+        summary = parse(ev[5][0])
+        value = parse(summary[1][0])
+        scalars.append((value[1][0].decode(), ev[2][0], round(value[2][0], 6)))
+    assert scalars == [("loss", 1, 0.5), ("loss", 2, 0.25)]
