@@ -345,6 +345,7 @@ def _attn_apply_enhanced(name, p, x, conv_apply, cfg, attn_ctx=None):
             num_heads=cfg.attn_heads,
             base_bits=attn_ctx.get("base_bits", 8),
             timestep=attn_ctx.get("timestep"),
+            head_split=attn_ctx.get("head_split", "aligned"),
         )
     else:
         w = jnp.einsum("blc,bcm->blm", q, k, preferred_element_type=jnp.float32)

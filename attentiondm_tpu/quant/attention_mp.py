@@ -64,21 +64,32 @@ def quantize_unsigned(x, scale, zero_point, bits):
 
 
 def mp_attention(
-    q, k, v, state: MPAttentionState, *, num_heads: int, base_bits: int, timestep=None
+    q, k, v, state: MPAttentionState, *, num_heads: int, base_bits: int,
+    timestep=None, head_split: str = "aligned"
 ):
     """Multi-head attention with conditionally quantized logits/probs.
 
-    q: [B, L, C]; k: [B, C, L]; v: [B, L, Cv].  Head split matches the
-    reference (attention_quant_utils.py:69-71); scaling = (C_qk)^-0.5 over
+    q: [B, L, C]; k: [B, C, L]; v: [B, L, Cv]; scaling = (C_qk)^-0.5 over
     the FULL projection dim (self_attention.py:69 passes key_channels**-0.5).
     Returns [B, L, Cv].
+
+    D13 head-split decision: the reference splits q head-major but k
+    channel-minor (attention_quant_utils.py:69-71 — `k.view(B, C//h, h, L)`),
+    so head i attends q channels [i*d, (i+1)*d) against k channels
+    {i, i+h, i+2h, ...}: every head pairs mismatched channel slices.  Fixed
+    by default (`head_split="aligned"`, both head-major); pass
+    `head_split="ref"` for bit-exact reference parity.
     """
     B, L, C = q.shape
     Cv = v.shape[-1]
     h = num_heads
     qh = q.reshape(B, L, h, C // h).transpose(0, 2, 1, 3)  # [B,h,L,d]
-    kh = k.reshape(B, C // h, h, L).transpose(0, 2, 3, 1)  # [B,h,L,d] -> we need [B,h,d,L]
-    kh = kh.transpose(0, 1, 3, 2)  # [B,h,d,L]
+    if head_split == "aligned":
+        kh = k.reshape(B, h, C // h, L)  # [B,h,d,L] — head-major like q
+    elif head_split == "ref":
+        kh = k.reshape(B, C // h, h, L).transpose(0, 2, 1, 3)  # [B,h,d,L], d-major quirk
+    else:
+        raise ValueError(f"head_split must be 'aligned' or 'ref', got {head_split!r}")
     vh = v.reshape(B, L, h, Cv // h).transpose(0, 2, 1, 3)  # [B,h,L,dv]
 
     bits = effective_bits(state, base_bits, timestep)

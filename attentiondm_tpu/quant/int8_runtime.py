@@ -8,8 +8,9 @@ only gathers `[step]` slices and runs int8 MACs — no per-step fold (which
 costs more than the conv itself; measured 2x slowdown when done in-graph).
 
 HBM cost: steps x params int8 (CIFAR-10 DDIM-100: ~3.5 GB).  For big models
-or long schedules pass `step_chunk` to fold lazily per chunk, or fall back
-to mode="infer".
+or long schedules use the fused serving path instead —
+quant/int8_serving.serving_ddim_sampler(step_chunk=k) folds lazily k steps
+at a time (chunked == unchunked tested) — or fall back to mode="infer".
 """
 from __future__ import annotations
 

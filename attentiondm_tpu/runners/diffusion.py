@@ -215,12 +215,23 @@ class Diffusion:
         xs_inputs = xs_full[:-1]
         return imgs, xs_inputs
 
-    def calibrate_model(self, params, qunet, qstates, seq, first: bool = True):
-        """Stage 1 (ranges/LAPQ) + stage 2 (attention-focused differentiable)."""
+    def calibrate_model(self, params, qunet, qstates, seq, first: bool = True,
+                        collect_attn_ranges: bool = False):
+        """Stage 1 (ranges/LAPQ) + stage 2 (attention-focused differentiable).
+
+        `collect_attn_ranges` additionally records per-step q/k/v projection
+        absmax during stage 1 (stored on `self.attn_ranges`) — the static
+        scales for the serving path's int8 attention cores."""
         args = self.args
         imgs, xs_inputs = self.generate_calibrate_set(params, qunet, qstates, seq)
         t0 = time.time()
-        qstates = calibrate_ranges(qunet, params, qstates, xs_inputs, seq, first=first)
+        if collect_attn_ranges:
+            qstates, self.attn_ranges = calibrate_ranges(
+                qunet, params, qstates, xs_inputs, seq, first=first,
+                return_attn_ranges=True,
+            )
+        else:
+            qstates = calibrate_ranges(qunet, params, qstates, xs_inputs, seq, first=first)
         logging.info(f"stage-1 range calibration done in {time.time()-t0:.1f}s")
         if args.calibrate_attention:
             t0 = time.time()
@@ -338,31 +349,91 @@ class Diffusion:
         args, config = self.args, self.config
         seq = self.make_seq()
         params = self._load_params()
-        apply, mstate, desc = self._build_model(params, seq)
-        logging.info(f"sampling with {len(list(seq))} steps, model={desc}")
 
         mesh = make_mesh()
         n_dev = mesh.devices.size
         use_ddpm = args.sample_type == "ddpm_noisy"
 
-        if use_ddpm:
-            jitted = jax.jit(
-                lambda st, x, k: ddpm_sample(
-                    lambda xt, t, i: apply(st, xt, t, i), x, seq, self.betas, key=k
-                )
-            )
-        else:
-            jitted = jax.jit(
-                lambda st, x, k: ddim_sample(
-                    lambda xt, t, i: apply(st, xt, t, i), x, seq, self.betas, eta=args.eta, key=k
-                )
-            )
+        serving = (
+            getattr(args, "execution", "fake_quant") == "serving"
+            and not getattr(args, "fp32", False)
+            and args.bitwidth > 0
+            and not use_ddpm
+        )
+        if serving and self.ucfg.attn_variant != "ddim":
+            logging.warning("--execution serving supports the ddim attention "
+                            "variant only; falling back to fake_quant")
+            serving = False
 
-        def sample_batch(n, key):
-            shape = (n, config.data.image_size, config.data.image_size, config.data.channels)
-            x = jax.random.normal(key, shape)
-            out = jitted(mstate, shard_batch(mesh, x), key)
-            return inverse_data_transform(config, jax.device_get(out))
+        if serving:
+            # fused int8-resident execution (quant/int8_serving.py) — the
+            # path bench.py times; true int8 MACs, one HBM pass per resblock
+            import jax.numpy as jnp
+
+            from ..quant.int8_serving import serving_ddim_sampler
+
+            qunet = QuantizedUNet.create(
+                self.ucfg,
+                bitwidth=args.bitwidth,
+                a_bitwidth=getattr(args, "a_bitwidth", None),
+                group_num=int(getattr(args, "normgroup", 0) or 0),
+            )
+            qstates = qunet.init_state(len(list(seq)))
+            attn_int8 = bool(getattr(args, "attn_int8", False))
+            qstates, _mp = self.calibrate_model(
+                params, qunet, qstates, seq, first=True,
+                collect_attn_ranges=attn_int8,
+            )
+            res_dtype = (
+                jnp.bfloat16
+                if getattr(args, "compute_dtype", "float32") == "bfloat16"
+                else jnp.float32
+            )
+            sampler = serving_ddim_sampler(
+                qunet, params, qstates, seq, self.betas,
+                eta=args.eta,
+                step_chunk=getattr(args, "step_chunk", None),
+                residual_dtype=res_dtype,
+                attn_int8=attn_int8,
+                attn_ranges=getattr(self, "attn_ranges", None) if attn_int8 else None,
+            )
+            desc = (
+                f"serving-int8 W{args.bitwidth}"
+                f"A{getattr(args, 'a_bitwidth', None) or args.bitwidth}"
+                + ("/bf16res" if res_dtype == jnp.bfloat16 else "")
+                + ("/attn-int8" if attn_int8 else "")
+            )
+            logging.info(f"sampling with {len(list(seq))} steps, model={desc}")
+
+            def sample_batch(n, key):
+                shape = (n, config.data.image_size, config.data.image_size,
+                         config.data.channels)
+                x = jax.random.normal(key, shape)
+                out = sampler(shard_batch(mesh, x), key)
+                return inverse_data_transform(config, jax.device_get(out))
+
+        else:
+            apply, mstate, desc = self._build_model(params, seq)
+            logging.info(f"sampling with {len(list(seq))} steps, model={desc}")
+
+            if use_ddpm:
+                jitted = jax.jit(
+                    lambda st, x, k: ddpm_sample(
+                        lambda xt, t, i: apply(st, xt, t, i), x, seq, self.betas, key=k
+                    )
+                )
+            else:
+                jitted = jax.jit(
+                    lambda st, x, k: ddim_sample(
+                        lambda xt, t, i: apply(st, xt, t, i), x, seq, self.betas, eta=args.eta, key=k
+                    )
+                )
+
+            def sample_batch(n, key):
+                shape = (n, config.data.image_size, config.data.image_size, config.data.channels)
+                x = jax.random.normal(key, shape)
+                out = jitted(mstate, shard_batch(mesh, x), key)
+                return inverse_data_transform(config, jax.device_get(out))
 
 
         os.makedirs(args.image_folder, exist_ok=True)
@@ -399,12 +470,18 @@ class Diffusion:
             return
 
         if args.interpolation:
+            if serving:
+                # trajectory-introspection paths stay on the interception
+                # engine (they need the generic `apply` closure)
+                apply, mstate, _ = self._build_model(params, seq)
             self._interpolation(apply, mstate, seq, key)
             return
 
         n = args.num_samples or 64
         key, sub = jax.random.split(key)
         if args.sequence:
+            if serving:
+                apply, mstate, _ = self._build_model(params, seq)
             shape = (n, config.data.image_size, config.data.image_size, config.data.channels)
             x = jax.random.normal(sub, shape)
             _, traj, _ = jax.jit(

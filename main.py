@@ -66,6 +66,17 @@ def parse_args_and_config():
     parser.add_argument("--batch_size", type=int, default=None, help="override sampling batch size")
     parser.add_argument("--ckpt_path", type=str, default=None,
                         help="checkpoint to load (.npz native or torch .ckpt/.pth)")
+    parser.add_argument("--execution", type=str, default="fake_quant",
+                        choices=["fake_quant", "serving"],
+                        help="quantized execution engine: fake_quant intercepts convs "
+                             "(reference-faithful); serving runs the fused int8-resident "
+                             "path (quant/int8_serving.py — the fast one)")
+    parser.add_argument("--attn_int8", action="store_true",
+                        help="serving only: run attention cores as fused int8 kernels "
+                             "(default: XLA f32 cores, fastest at CIFAR scale)")
+    parser.add_argument("--step_chunk", type=int, default=None,
+                        help="serving only: fold per-step int8 weights k steps at a "
+                             "time to bound HBM (big models / long schedules)")
 
     args = parser.parse_args()
     args.log_path = os.path.join(args.exp, "logs", args.doc)

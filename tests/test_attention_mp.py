@@ -38,8 +38,10 @@ def test_effective_bits():
     assert float(effective_bits(st, 6, None)) == 6.0
 
 
-def test_mp_attention_high_bits_matches_plain():
-    """At high effective bits no quantization branch fires -> plain MHA."""
+@pytest.mark.parametrize("head_split", ["aligned", "ref"])
+def test_mp_attention_high_bits_matches_plain(head_split):
+    """At high effective bits no quantization branch fires -> plain MHA,
+    for both the fixed (D13 aligned) and reference-parity head splits."""
     st = init_mp_attention_state(10)
     st.timestep_importance = jnp.full((10,), 10.0)  # bits = 8+2 = 10 > thresholds
     B, L, C = 2, 16, 32
@@ -47,16 +49,38 @@ def test_mp_attention_high_bits_matches_plain():
     q = jax.random.normal(k1, (B, L, C))
     k = jax.random.normal(k2, (B, C, L))
     v = jax.random.normal(k3, (B, L, C))
-    out = mp_attention(q, k, v, st, num_heads=8, base_bits=8, timestep=3)
+    out = mp_attention(q, k, v, st, num_heads=8, base_bits=8, timestep=3,
+                       head_split=head_split)
 
     # plain reference computation
     h = 8
     qh = q.reshape(B, L, h, C // h).transpose(0, 2, 1, 3)
-    kh = k.reshape(B, C // h, h, L).transpose(0, 2, 3, 1).transpose(0, 1, 3, 2)
+    if head_split == "ref":
+        kh = k.reshape(B, C // h, h, L).transpose(0, 2, 3, 1).transpose(0, 1, 3, 2)
+    else:
+        kh = k.reshape(B, h, C // h, L)
     vh = v.reshape(B, L, h, C // h).transpose(0, 2, 1, 3)
     w = jax.nn.softmax(jnp.einsum("bhld,bhdm->bhlm", qh, kh) * (C ** -0.5), axis=-1)
     expect = jnp.einsum("bhlm,bhmd->bhld", w, vh).transpose(0, 2, 1, 3).reshape(B, L, C)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+def test_mp_attention_head_split_modes_differ_multihead():
+    """D13: with >1 head the aligned and ref splits pair different channel
+    slices, so outputs differ; with 1 head they coincide."""
+    st = init_mp_attention_state(10)
+    st.timestep_importance = jnp.full((10,), 10.0)
+    B, L, C = 1, 8, 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (B, L, C))
+    k = jax.random.normal(ks[1], (B, C, L))
+    v = jax.random.normal(ks[2], (B, L, C))
+    a = mp_attention(q, k, v, st, num_heads=4, base_bits=8, timestep=0, head_split="aligned")
+    r = mp_attention(q, k, v, st, num_heads=4, base_bits=8, timestep=0, head_split="ref")
+    assert float(jnp.abs(a - r).max()) > 1e-5
+    a1 = mp_attention(q, k, v, st, num_heads=1, base_bits=8, timestep=0, head_split="aligned")
+    r1 = mp_attention(q, k, v, st, num_heads=1, base_bits=8, timestep=0, head_split="ref")
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(r1), atol=1e-6)
 
 
 def test_mp_attention_low_bits_quantizes():
