@@ -224,6 +224,29 @@ def _pad_qzero(xq, zp, a_bit):
     return jax.lax.dynamic_update_slice(out, xq, (0, 1, 1, 0))
 
 
+def int8_conv3_qzero_down(xq, zp, a_bit, gq_flat):
+    """3x3 stride-2 int8 downsample conv with the reference's asymmetric
+    (0,1),(0,1) zero pad (models/diffusion.py Downsample: F.pad(x,(0,1,0,1))
+    then stride-2 VALID), padding in the int8 domain with each channel's
+    quantized zero so it decodes to 0.0 like the interception path."""
+    B, H, W, C = xq.shape
+    Cp = gq_flat.shape[0] // 9
+    n = 2 ** (a_bit - 1)
+    qz = jnp.clip(jnp.round(-zp), -n, n - 1).astype(jnp.int8)  # [C]
+    xp = jnp.broadcast_to(qz, (B, H + 1, W + 1, C))
+    xp = jax.lax.dynamic_update_slice(xp, xq, (0, 0, 0, 0))
+    if Cp != C:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
+    return jax.lax.conv_general_dilated(
+        xp,
+        gq_flat.reshape(3, 3, Cp, gq_flat.shape[-1]),
+        (2, 2),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
 def int8_conv3_qzero(xq, zp, a_bit, gq_flat):
     """3x3 int8 conv with correct per-channel quantized-zero halo."""
     B, H, W, C = xq.shape
@@ -453,8 +476,17 @@ def serving_unet_apply(
         if i_level != num_levels - 1:
             nm = f"down.{i_level}.downsample"
             if cfg.resamp_with_conv:
-                hpad = jnp.pad(hs[-1], ((0, 0), (0, 1), (0, 1), (0, 0)))
-                hd = conv_site(f"{nm}.conv", hpad, stride=2, padding="VALID")
+                lay = rt_i.get(f"{nm}.conv")
+                if lay is not None:
+                    # int8 stride-2 downsample (asymmetric qzero pad)
+                    pol = qunet.policy[f"{nm}.conv"]
+                    co = _lookup(params, f"{nm}.conv")["kernel"].shape[3]
+                    xq = _quant_i8(hs[-1].astype(jnp.float32), lay.act_scale, lay.act_zp, pol.a_bit)
+                    dot = int8_conv3_qzero_down(xq, lay.act_zp, pol.a_bit, lay.gq)
+                    hd = _epilogue(dot, lay, co)
+                else:
+                    hpad = jnp.pad(hs[-1], ((0, 0), (0, 1), (0, 1), (0, 0)))
+                    hd = conv_site(f"{nm}.conv", hpad, stride=2, padding="VALID")
             else:
                 hd = jax.lax.reduce_window(
                     hs[-1].astype(jnp.float32), 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
