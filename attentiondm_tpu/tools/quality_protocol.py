@@ -26,6 +26,7 @@ Everything jitted takes params as ARGUMENTS (remote-compile payload limit).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import functools
 import json
 
@@ -39,6 +40,67 @@ from ..models import UNetConfig, unet_apply, unet_init
 from ..models.unet import cast_params
 from ..quant import QuantizedUNet, calibrate_ranges
 from ..quant.calibrate import calibrate_differentiable
+
+
+def kid_proxy(feats_a, feats_b) -> float:
+    """Unbiased KID (MMD^2, polynomial kernel (x.y/d + 1)^3) between two
+    feature sets — the small-N-stable distributional metric (Binkowski et
+    al. 2018).  Features come from the vendored InceptionV3-FID architecture
+    with SEEDED RANDOM weights (eval/inception.py::InceptionV3FID.random):
+    zero egress blocks the canonical pt_inception weights, and random-CNN
+    features are a standard stand-in for distributional comparison.  Only
+    comparisons within one protocol run (same seed) are meaningful.
+    """
+    a = np.asarray(feats_a, np.float64)
+    b = np.asarray(feats_b, np.float64)
+    d = a.shape[1]
+    m, n = a.shape[0], b.shape[0]
+
+    def k(x, y):
+        return (x @ y.T / d + 1.0) ** 3
+
+    kaa = k(a, a)
+    kbb = k(b, b)
+    kab = k(a, b)
+    t_aa = (kaa.sum() - np.trace(kaa)) / (m * (m - 1))
+    t_bb = (kbb.sum() - np.trace(kbb)) / (n * (n - 1))
+    t_ab = kab.mean()
+    return float(t_aa + t_bb - 2 * t_ab)
+
+
+def calibrate_naive_tensorwise(qunet, params, qstates, xs_in, seq):
+    """Stage-0 baseline: plain per-step per-TENSOR min/max ranges.
+
+    No LAPQ shrink, no group-wise bucketing, no per-channel structure —
+    the naive PTQ every paper compares against.  Isolates what stage 1's
+    machinery (groupwise_ranges + the 9-candidate grid) actually buys.
+    """
+    from ..models.unet import unet_apply as _ua
+    from ..quant.qunet import make_quant_conv_apply
+
+    t_rev = np.asarray(list(seq))[::-1]
+    S = xs_in.shape[0]
+    new_states = {n: st for n, st in qstates.items()}
+
+    @jax.jit
+    def collect_step(p, x, t):
+        collect = {}
+        ca = make_quant_conv_apply({}, qunet.policy, 0, mode="collect", collect=collect)
+        _ = _ua(p, qunet.cfg, x, t, conv_apply=ca)
+        return collect
+
+    per_step = []
+    for i in range(S):
+        t_vec = jnp.full((xs_in.shape[1],), float(t_rev[i]), jnp.float32)
+        per_step.append(collect_step(params, xs_in[i], t_vec))
+    for name, st in qstates.items():
+        gr = st.group_ranges
+        for i in range(S):
+            cmin, cmax = per_step[i][name]
+            tmin, tmax = jnp.min(cmin), jnp.max(cmax)
+            gr = gr.at[i, :, 0].set(tmin).at[i, :, 1].set(tmax)
+        new_states[name] = dataclasses.replace(st, group_ranges=gr)
+    return new_states
 
 
 def psnr(a, b, data_range: float = 2.0) -> float:
@@ -94,12 +156,19 @@ def run_protocol(
     stage2: bool = True,
     serving: bool = True,
     bf16: bool = True,
+    stage0: bool = False,
+    attribution: bool = False,
+    kid: bool = False,
     stage2_lr: float = 0.05,
 ):
-    """Returns {row_name: {"eps_rel_mse_mean", "eps_rel_mse_max", "psnr"}}.
+    """Returns {row_name: {"eps_rel_mse_mean", "eps_rel_mse_max", "psnr"[, "kid"]}}.
 
-    Row names: fp32 (reference row, PSNR=inf), bf16, w{W}a{A}_s1,
-    w{W}a{A}_s12, int8_w{W}a{A} (+ _bf16res).
+    Row names: fp32 (reference row, PSNR=inf), bf16, w{W}a{A}_s0 (naive
+    per-tensor ranges, `stage0`), w{W}a{A}_s1, w{W}a{A}_s12,
+    int8_w{W}a{A} (+ _bf16res), and with `attribution` the isolation rows
+    w4only (4-bit weights, FP activations) / w16a8_s1 (near-lossless
+    weights, 8-bit activations).  `kid` adds the random-feature KID proxy
+    of each config's free-run samples against the FP32 samples.
     """
     key = jax.random.PRNGKey(0) if key is None else key
     sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
@@ -133,6 +202,20 @@ def run_protocol(
 
     rows = {"fp32": dict(eps_rel_mse_mean=0.0, eps_rel_mse_max=0.0, psnr=float("inf"))}
 
+    extract = None
+    feats_fp = None
+    if kid:
+        from ..eval.inception import InceptionV3FID
+
+        inc = InceptionV3FID.random(seed=0)
+
+        def extract(imgs):
+            x01 = jnp.clip((imgs + 1.0) * 0.5, 0.0, 1.0)
+            return np.asarray(inc.extract(x01))
+
+        feats_fp = extract(x_fp)
+        rows["fp32"]["kid"] = 0.0
+
     def add_row(name, eps_q, x_final):
         r = rel_eps_mse(eps_q, eps_ref)
         rows[name] = dict(
@@ -140,6 +223,8 @@ def run_protocol(
             eps_rel_mse_max=float(r.max()),
             psnr=psnr(x_final, x_fp),
         )
+        if extract is not None:
+            rows[name]["kid"] = kid_proxy(extract(x_final), feats_fp)
 
     # --- bf16 compute path
     if bf16:
@@ -156,6 +241,22 @@ def run_protocol(
         xf_b, eps_b = run_bf16(p_b, x_init, xs_in)
         add_row("bf16", eps_b, xf_b)
 
+    # --- attribution rows: isolate weight-vs-activation quantization
+    if attribution:
+        q4 = QuantizedUNet.create(cfg, bitwidth=4, a_bitwidth=8)
+        qp4, _ = q4.prepare_params(params)
+
+        @jax.jit
+        def run_wonly(qp, x, xs):
+            fn = lambda xt, t, i: unet_apply(qp, cfg, xt, t)
+            return ddim_sample(fn, x, seq, sched.betas), _eps_scan(fn, xs, t_rev)
+
+        xf_w, eps_w = run_wonly(qp4, x_init, xs_in)
+        add_row("w4only", eps_w, xf_w)
+
+    if attribution and (16, 8) not in tuple(bit_configs):
+        bit_configs = tuple(bit_configs) + ((16, 8),)
+
     # --- fake-quant configs
     for w_bit, a_bit in bit_configs:
         qunet = QuantizedUNet.create(cfg, bitwidth=w_bit, a_bitwidth=a_bit)
@@ -171,6 +272,13 @@ def run_protocol(
             xf = ddim_sample(q_fn_of(qp, qs), x, seq, sched.betas)
             return xf, _eps_scan(q_fn_of(qp, qs), xs, t_rev)
 
+        if stage0:
+            qs0 = calibrate_naive_tensorwise(
+                qunet, params, qunet.init_state(steps), xs_cal, seq
+            )
+            xf_0, eps_0 = run_q(qparams, qs0, x_init, xs_in)
+            add_row(f"w{w_bit}a{a_bit}_s0", eps_0, xf_0)
+
         xf_q, eps_q = run_q(qparams, qstates, x_init, xs_in)
         add_row(f"w{w_bit}a{a_bit}_s1", eps_q, xf_q)
 
@@ -184,6 +292,14 @@ def run_protocol(
             # learned softmax(alpha) — stage-2's output flows through it)
             xf_q2, eps_q2 = run_q(qparams, qstates2, x_init, xs_in)
             add_row(f"w{w_bit}a{a_bit}_s12", eps_q2, xf_q2)
+
+            # general (all-conv) differentiable pass, for scale comparison
+            qstates2g, _ = calibrate_differentiable(
+                qunet, params, qstates, imgs_cal, seq, sched.betas,
+                key=jax.random.fold_in(key, 8), lr=stage2_lr, attention_focus=False,
+            )
+            xf_g, eps_g = run_q(qparams, qstates2g, x_init, xs_in)
+            add_row(f"w{w_bit}a{a_bit}_s12g", eps_g, xf_g)
 
         if serving and (w_bit, a_bit) == (4, 8):
             from ..quant.int8_serving import (
@@ -224,15 +340,19 @@ def run_protocol(
 
 
 def format_table(rows) -> str:
-    lines = [
-        "| config | eps rel-MSE (mean) | eps rel-MSE (max) | final PSNR vs FP32 (dB) |",
-        "|---|---|---|---|",
-    ]
+    has_kid = any("kid" in r for r in rows.values())
+    hdr = "| config | eps rel-MSE (mean) | eps rel-MSE (max) | final PSNR vs FP32 (dB) |"
+    sep = "|---|---|---|---|"
+    if has_kid:
+        hdr += " KID-proxy (x1e3) |"
+        sep += "---|"
+    lines = [hdr, sep]
     for name, r in rows.items():
         p = "inf" if np.isinf(r["psnr"]) else f"{r['psnr']:.1f}"
-        lines.append(
-            f"| {name} | {r['eps_rel_mse_mean']:.4g} | {r['eps_rel_mse_max']:.4g} | {p} |"
-        )
+        line = f"| {name} | {r['eps_rel_mse_mean']:.6g} | {r['eps_rel_mse_max']:.6g} | {p} |"
+        if has_kid:
+            line += f" {1e3 * r['kid']:.3f} |" if "kid" in r else " - |"
+        lines.append(line)
     return "\n".join(lines)
 
 
@@ -247,6 +367,12 @@ def main():
     ap.add_argument("--json_out", type=str, default=None)
     ap.add_argument("--no_stage2", action="store_true")
     ap.add_argument("--no_serving", action="store_true")
+    ap.add_argument("--stage0", action="store_true",
+                    help="add naive per-tensor-range baseline rows")
+    ap.add_argument("--attribution", action="store_true",
+                    help="add weight-only / act-only isolation rows")
+    ap.add_argument("--kid", action="store_true",
+                    help="add random-feature KID proxy vs the FP32 samples")
     args = ap.parse_args()
 
     cfg = UNetConfig()
@@ -262,6 +388,7 @@ def main():
         params, cfg, steps=args.steps, skip_type=args.skip_type,
         batch=args.batch, calib_batch=args.calib_batch,
         stage2=not args.no_stage2, serving=not args.no_serving,
+        stage0=args.stage0, attribution=args.attribution, kid=args.kid,
     )
     print(f"weights: {weights}; DDIM-{args.steps} ({args.skip_type}), batch {args.batch}")
     print(format_table(rows))
