@@ -37,6 +37,10 @@ from .qunet import QuantizedUNet
 
 LAPQ_CANDIDATES = 9
 LAPQ_ACCEPT_SCORE = 0.2
+# Assignment-init logit magnitude: softmax weight on the channel's own
+# bucket ~= 1/(1+(G-1)e^-K) = 0.9992 at G=8, K=9 — effectively one-hot while
+# staying differentiable for stage 2.
+ASSIGN_LOGIT = 9.0
 
 
 # ---------------------------------------------------------------------------
@@ -44,7 +48,28 @@ LAPQ_ACCEPT_SCORE = 0.2
 # ---------------------------------------------------------------------------
 
 
-def _calibrate_one_conv(x, st: ActQuantState, cfg: ActQuantConfig, s, first: bool):
+def _assignment_logits(gr, snap_min, snap_max, scale: float = ASSIGN_LOGIT):
+    """One-hot(ish) logits putting each channel on its OWN bucket.
+
+    The reference computes the per-channel group assignment (the snapped
+    ranges, quant_util.py:198-201) but leaves `alpha_activ` at its uniform
+    0.01 init — so the inference mixture (260-267) collapses every channel
+    to the MEAN of the 8 group thresholds and the group structure is unused
+    until stage 2 learns it.  This seeds the mixture with the computed
+    assignment instead.  Measured (tools/quality_protocol.py): NOT an
+    improvement — the LAPQ range floor (init [-4, 6]) dominates the
+    per-bucket thresholds, so own-bucket ranges are wider than the uniform
+    mean and rounding error rises more than clipping falls.  Kept as an
+    opt-in for studies; the default stays reference-faithful uniform.
+    """
+    d = jnp.abs(gr[:, 0:1] - snap_min[None, :]) + jnp.abs(gr[:, 1:2] - snap_max[None, :])
+    own = jnp.argmin(d, axis=0)  # [C]
+    return jax.nn.one_hot(own, gr.shape[0], axis=0) * scale  # [G, C]
+
+
+def _calibrate_one_conv(
+    x, st: ActQuantState, cfg: ActQuantConfig, s, first: bool, assignment: bool = False
+):
     """Calibrate one conv's quant state at step `s` from its input `x`.
 
     Returns (updated fields, quantized activation to propagate downstream).
@@ -52,7 +77,6 @@ def _calibrate_one_conv(x, st: ActQuantState, cfg: ActQuantConfig, s, first: boo
     axes = tuple(range(x.ndim - 1))
     chan_min = x.min(axis=axes)  # [C]
     chan_max = x.max(axis=axes)
-    alpha = st.alpha_logits[s]  # [G, C]
     G = cfg.group_num
 
     def build(base_min, base_max):
@@ -63,7 +87,12 @@ def _calibrate_one_conv(x, st: ActQuantState, cfg: ActQuantConfig, s, first: boo
         snap_min, gmin = groupwise_ranges(cmin, G, "min")
         snap_max, gmax = groupwise_ranges(cmax, G, "max")
         gr = jnp.stack([gmin, gmax], axis=1)  # [G, 2]
-        return snap_min, snap_max, gr
+        alpha = (
+            _assignment_logits(gr, snap_min, snap_max)
+            if assignment
+            else st.alpha_logits[s]
+        )
+        return snap_min, snap_max, gr, alpha
 
     init_min = st.init_range[s, 0]
     init_max = st.init_range[s, 1]
@@ -74,7 +103,7 @@ def _calibrate_one_conv(x, st: ActQuantState, cfg: ActQuantConfig, s, first: boo
         def score_candidate(aa):
             bm = init_min * (1.0 - aa * 0.1)
             bM = init_max * (1.0 - aa * 0.1)
-            _, _, gr = build(bm, bM)
+            _, _, gr, alpha = build(bm, bM)
             xq = quantize_activation_mixture(x, gr, alpha, cfg.a_bit)
             return lp_loss(xq, x, p=0.5, reduction="all")
 
@@ -86,13 +115,14 @@ def _calibrate_one_conv(x, st: ActQuantState, cfg: ActQuantConfig, s, first: boo
         init_min = jnp.where(accept, init_min * shrink, init_min)
         init_max = jnp.where(accept, init_max * shrink, init_max)
 
-    snap_min, snap_max, gr = build(init_min, init_max)
+    snap_min, snap_max, gr, alpha = build(init_min, init_max)
     xq = quantize_activation_mixture(x, gr, alpha, cfg.a_bit)
     updates = dict(
         init_range=jnp.stack([init_min, init_max]),
         act_min=snap_min,
         act_max=snap_max,
         group_ranges=gr,
+        alpha_logits=alpha,
     )
     return updates, xq
 
@@ -110,6 +140,7 @@ def calibrate_ranges_step(
     t,
     s,
     first: bool,
+    assignment: bool = False,
 ):
     """One calibration forward at step `s`: collect + update every conv's
     ranges; activations propagate QUANTIZED (as the reference does).
@@ -123,7 +154,9 @@ def calibrate_ranges_step(
     def conv_apply(name, xin, p, *, stride=1, padding="SAME"):
         if name not in qstates:
             return conv2d(xin, p, stride=stride, padding=padding)
-        upd, xq = _calibrate_one_conv(xin, qstates[name], qunet.policy[name], s, first)
+        upd, xq = _calibrate_one_conv(
+            xin, qstates[name], qunet.policy[name], s, first, assignment
+        )
         updates[name] = upd
         out = conv2d(xq, p, stride=stride, padding=padding)
         if _is_attn_proj(name):
@@ -140,7 +173,7 @@ def calibrate_ranges_step(
             act_min=st.act_min.at[s].set(u["act_min"]),
             act_max=st.act_max.at[s].set(u["act_max"]),
             group_ranges=st.group_ranges.at[s].set(u["group_ranges"]),
-            alpha_logits=st.alpha_logits,
+            alpha_logits=st.alpha_logits.at[s].set(u["alpha_logits"]),
         )
     return new_states, attn_absmax, eps
 
@@ -153,6 +186,7 @@ def calibrate_ranges(
     seq: Sequence[int],
     first: bool = True,
     return_attn_ranges: bool = False,
+    assignment_init: bool = False,
 ):
     """Stage-1 calibration over the whole sampler trajectory.
 
@@ -162,6 +196,11 @@ def calibrate_ranges(
     With `return_attn_ranges` also returns {proj_name: [S]} absmax of each
     attention q/k/v projection output per step — the static scales for the
     int8 QK^T serving attention.
+
+    `assignment_init` seeds `alpha_logits` with each channel's own bucket
+    (see `_assignment_logits`); False keeps the reference-faithful uniform
+    init (quant_util.py:119-120), which collapses the inference mixture to
+    the mean of the group thresholds until stage 2 learns otherwise.
     """
     t_rev = np.asarray(list(seq))[::-1]
     n = xs.shape[1]
@@ -170,7 +209,9 @@ def calibrate_ranges(
     # overflow remote-compile payload limits on big models)
     @jax.jit
     def step(p, qs, x, t, s):
-        new_qs, absmax, _ = calibrate_ranges_step(qunet, p, qs, x, t, s, first)
+        new_qs, absmax, _ = calibrate_ranges_step(
+            qunet, p, qs, x, t, s, first, assignment_init
+        )
         return new_qs, absmax
 
     collected: list = []
@@ -214,6 +255,7 @@ def calibrate_differentiable(
     weight_decay: float = 0.05,
     diff_loss_weight: float = 1.0,
     attention_focus: bool = False,
+    epochs: int = 1,
 ):
     """Optimize alpha_logits with AdamW along the DDIM trajectory.
 
@@ -222,6 +264,12 @@ def calibrate_differentiable(
     diff_loss_weight * sum of alpha entropies at this step; one optimizer
     step per timestep; x advances by the DDIM update using the loss
     forward's eps prediction.
+
+    `epochs` repeats the trajectory pass (fresh noise, same x0, optimizer
+    state carried over).  The reference's single pass gives each step's
+    alpha slice exactly ONE AdamW update (lr 0.05 moves the logits ~0.05,
+    a ~1% softmax shift) — measured quality-neutral; multiple epochs give
+    the differentiable search an actual chance to move the mixture.
     """
     sel_names = [
         n
@@ -276,23 +324,24 @@ def calibrate_differentiable(
         return alphas, opt_state, xt_next, loss
 
     alphas = alpha0
-    xt = x0
     losses = []
-    for i in range(S):
-        k = jax.random.fold_in(key, i)
-        alphas, opt_state, xt, loss = step(
-            params,
-            qstates,
-            alphas,
-            opt_state,
-            xt,
-            jnp.asarray(i),
-            float(t_rev[i]),
-            at_all[i],
-            at_next_all[i],
-            k,
-        )
-        losses.append(float(loss))
+    for ep in range(epochs):
+        xt = x0
+        for i in range(S):
+            k = jax.random.fold_in(key, ep * S + i)
+            alphas, opt_state, xt, loss = step(
+                params,
+                qstates,
+                alphas,
+                opt_state,
+                xt,
+                jnp.asarray(i),
+                float(t_rev[i]),
+                at_all[i],
+                at_next_all[i],
+                k,
+            )
+            losses.append(float(loss))
     return set_alphas(qstates, alphas), losses
 
 

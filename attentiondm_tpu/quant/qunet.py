@@ -84,14 +84,20 @@ def init_qunet_state(
     return states
 
 
-def make_weight_states(params, cfg: UNetConfig) -> Dict[str, WeightQuantState]:
-    """Per-output-channel weight ranges from the (loaded) FP params."""
+def make_weight_states(
+    params, cfg: UNetConfig, policy: Dict[str, ActQuantConfig] | None = None
+) -> Dict[str, WeightQuantState]:
+    """Per-output-channel weight ranges from the (loaded) FP params.
+
+    With `policy`, ranges are MSE-shrink-searched at each layer's w_bit
+    (see make_weight_quant_state) — the default via prepare_params."""
     out = {}
     for name, _cin, _k in iter_conv_layers(cfg):
         node = params
         for p in name.split("."):
             node = node[int(p)] if isinstance(node, list) else node[p]
-        out[name] = make_weight_quant_state(node["kernel"])
+        w_bit = policy[name].w_bit if policy else None
+        out[name] = make_weight_quant_state(node["kernel"], w_bit)
     return out
 
 
@@ -210,7 +216,7 @@ class QuantizedUNet:
         """
         from ..models.unet import cast_params
 
-        ws = make_weight_states(params, self.cfg)
+        ws = make_weight_states(params, self.cfg, self.policy)
         qp = quantize_params(params, ws, self.policy, self.cfg)
         if compute_dtype is not None:
             qp = cast_params(qp, compute_dtype)

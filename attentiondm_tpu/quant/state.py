@@ -74,16 +74,55 @@ def init_act_quant_state(num_steps: int, in_channels: int, cfg: ActQuantConfig) 
 # ---------------------------------------------------------------------------
 
 
-def make_weight_quant_state(w: jax.Array) -> WeightQuantState:
+# shrink grid: fine 1.00..0.55 (step 0.03) + coarse tail for heavy-outlier
+# channels; argmin per channel, so extra candidates can only help
+WEIGHT_MSE_SHRINKS = tuple(1.0 - 0.03 * i for i in range(16)) + (0.45, 0.35, 0.25, 0.15)
+
+
+def make_weight_quant_state(w: jax.Array, w_bit: int | None = None) -> WeightQuantState:
     """Per-output-channel ranges from the checkpoint weights.
 
     `w` is HWIO (TPU conv layout): reduce over all axes but the last (O).
     Ranges are clamped so zero is representable and min < max.
+
+    With `w_bit` given, each channel's range is additionally shrunk by the
+    factor (searched over a 16-point grid) minimizing that channel's weight
+    reconstruction MSE at `w_bit` — trading a little clipping for less
+    rounding error.  Not in the reference (whose weight "quantization" is
+    defect D4); standard PTQ practice and the dominant quality lever at 4
+    bits (measured: tools/quality_protocol.py `w4only` row, PERFORMANCE.md).
     """
     axes = tuple(range(w.ndim - 1))
     w_min = jnp.minimum(w.min(axis=axes), 0.0)
     w_max = jnp.maximum(w.max(axis=axes), 1e-8)
-    return WeightQuantState(w_min=w_min, w_max=w_max)
+    if w_bit is None:
+        return WeightQuantState(w_min=w_min, w_max=w_max)
+
+    # Host-side numpy: this runs once per layer OUTSIDE jit, and an XLA
+    # version costs a compile per distinct kernel shape (~7 s each in this
+    # environment) for a microseconds-sized computation.
+    import numpy as np
+
+    wn = np.asarray(w, np.float32).reshape(-1, w.shape[-1])  # [M, O]
+    mn = np.asarray(w_min, np.float32)
+    mx = np.asarray(w_max, np.float32)
+    n_lv = 2.0**w_bit - 1.0
+    half = 2.0 ** (w_bit - 1)
+    best_err = None
+    best_k = np.ones_like(mn)
+    for k in WEIGHT_MSE_SHRINKS:
+        scale = n_lv / ((mx - mn) * k)
+        zp = np.round(scale * mn * k) + half
+        q = np.clip(np.round(wn * scale - zp), -half, half - 1)
+        err = np.square((q + zp) / scale - wn).sum(axis=0)  # [O]
+        if best_err is None:
+            best_err = err
+        else:
+            better = err < best_err
+            best_err = np.where(better, err, best_err)
+            best_k = np.where(better, k, best_k)
+    best = jnp.asarray(best_k, w.dtype)
+    return WeightQuantState(w_min=w_min * best, w_max=w_max * best)
 
 
 def quantize_weight_per_channel(w: jax.Array, wq: WeightQuantState, w_bit: int) -> jax.Array:

@@ -37,6 +37,23 @@ from ..utils import save_image, save_image_grid, MetricsLogger
 from .. import checkpoint as ckpt_io
 
 
+def _contiguous_prefix(folder: str) -> int:
+    """Length of the contiguous 0..k-1 run of `<id>.png` files in `folder`.
+
+    The `--fid` resume point: ids past the first hole are regenerated (their
+    batch keys are deterministic), so holes from an interrupted multithreaded
+    write can never be skipped permanently."""
+    ids = set()
+    for p in glob.glob(os.path.join(folder, "*.png")):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        if stem.isdigit():
+            ids.add(int(stem))
+    k = 0
+    while k in ids:
+        k += 1
+    return k
+
+
 class Diffusion:
     def __init__(self, args, config, device=None):
         self.args = args
@@ -250,6 +267,7 @@ class Diffusion:
                 # neither, main.py:93-98 / defect D12-adjacent)
                 diff_loss_weight=getattr(args, "attention_loss_weight", args.diff_loss_weight),
                 attention_focus=True,
+                epochs=int(getattr(args, "calib_epochs", 1) or 1),
             )
             logging.info(
                 f"stage-2 attention calibration done in {time.time()-t0:.1f}s "
@@ -447,8 +465,14 @@ class Diffusion:
             batch = max(n_dev, batch - batch % n_dev)
             # deterministic resumability: keys derive from the batch INDEX, so
             # an interrupted run restarted over the same folder continues the
-            # exact same image stream (counted from existing PNGs)
-            img_id = len(glob.glob(os.path.join(args.image_folder, "*.png")))
+            # exact same image stream.  Resume from the first MISSING id, not
+            # the file count — the multithreaded PNG writer can complete a
+            # killed batch's files out of order, leaving holes that a plain
+            # count would skip past forever.  Aligned down to the batch grid
+            # so the interrupted batch's key regenerates it byte-identically
+            # (overwrites are no-ops).
+            img_id = _contiguous_prefix(args.image_folder)
+            img_id -= img_id % batch
             start = img_id
             if start:
                 logging.info(f"resuming: {start} images already in {args.image_folder}")

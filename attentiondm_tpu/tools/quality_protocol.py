@@ -31,6 +31,9 @@ import functools
 import json
 
 import jax
+import os as _os
+jax.config.update("jax_compilation_cache_dir", _os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +56,18 @@ def kid_proxy(feats_a, feats_b) -> float:
     """
     a = np.asarray(feats_a, np.float64)
     b = np.asarray(feats_b, np.float64)
+    # Standardize per-dimension against the REFERENCE set's stats: a random
+    # (untrained) CNN shrinks feature scale by orders of magnitude per layer
+    # (measured ~1e-19 at the 2048-d pool), which drives the polynomial
+    # kernel to the constant 1 and makes raw MMD^2 read 0 for any pair of
+    # sets.  Only relative variation carries signal, so rescale it to O(1).
+    mu = b.mean(axis=0)
+    sd = b.std(axis=0)
+    sd = np.maximum(sd, 1e-6 * (sd.mean() + 1e-300))
+    # clip z-scores: near-constant reference dims otherwise explode through
+    # the cubic kernel (measured 1e37 on disjoint sets without the clip)
+    a = np.clip((a - mu) / sd, -5.0, 5.0)
+    b = np.clip((b - mu) / sd, -5.0, 5.0)
     d = a.shape[1]
     m, n = a.shape[0], b.shape[0]
 
@@ -160,6 +175,7 @@ def run_protocol(
     attribution: bool = False,
     kid: bool = False,
     stage2_lr: float = 0.05,
+    stage2_epochs: int = 1,
 ):
     """Returns {row_name: {"eps_rel_mse_mean", "eps_rel_mse_max", "psnr"[, "kid"]}}.
 
@@ -279,6 +295,24 @@ def run_protocol(
             xf_0, eps_0 = run_q(qparams, qs0, x_init, xs_in)
             add_row(f"w{w_bit}a{a_bit}_s0", eps_0, xf_0)
 
+            # stage 1 WITHOUT the reference's [-4, 6] range floor
+            # (quant_util.py:91-92, 193-196): pure data-driven per-channel
+            # group ranges.  Tests whether the floor — far wider than the
+            # post-swish activations it guards — is what keeps stage 1 from
+            # beating naive per-tensor ranges.
+            q_nf = QuantizedUNet(
+                cfg=qunet.cfg,
+                policy={
+                    n: dataclasses.replace(p, init_min=0.0, init_max=1e-6)
+                    for n, p in qunet.policy.items()
+                },
+            )
+            qs_nf = calibrate_ranges(
+                q_nf, params, q_nf.init_state(steps), xs_cal, seq, first=True
+            )
+            xf_nf, eps_nf = run_q(qparams, qs_nf, x_init, xs_in)
+            add_row(f"w{w_bit}a{a_bit}_s1nf", eps_nf, xf_nf)
+
         xf_q, eps_q = run_q(qparams, qstates, x_init, xs_in)
         add_row(f"w{w_bit}a{a_bit}_s1", eps_q, xf_q)
 
@@ -300,6 +334,17 @@ def run_protocol(
             )
             xf_g, eps_g = run_q(qparams, qstates2g, x_init, xs_in)
             add_row(f"w{w_bit}a{a_bit}_s12g", eps_g, xf_g)
+
+            if stage2_epochs > 1:
+                # multi-epoch stage 2: each alpha[s] slice gets `epochs`
+                # AdamW updates instead of the reference's single one
+                qstates2e, _ = calibrate_differentiable(
+                    qunet, params, qstates, imgs_cal, seq, sched.betas,
+                    key=jax.random.fold_in(key, 9), lr=stage2_lr,
+                    attention_focus=False, epochs=stage2_epochs,
+                )
+                xf_e, eps_e = run_q(qparams, qstates2e, x_init, xs_in)
+                add_row(f"w{w_bit}a{a_bit}_s12e{stage2_epochs}", eps_e, xf_e)
 
         if serving and (w_bit, a_bit) == (4, 8):
             from ..quant.int8_serving import (
@@ -373,6 +418,8 @@ def main():
                     help="add weight-only / act-only isolation rows")
     ap.add_argument("--kid", action="store_true",
                     help="add random-feature KID proxy vs the FP32 samples")
+    ap.add_argument("--stage2_epochs", type=int, default=1,
+                    help=">1 adds a multi-epoch stage-2 row")
     args = ap.parse_args()
 
     cfg = UNetConfig()
@@ -389,6 +436,7 @@ def main():
         batch=args.batch, calib_batch=args.calib_batch,
         stage2=not args.no_stage2, serving=not args.no_serving,
         stage0=args.stage0, attribution=args.attribution, kid=args.kid,
+        stage2_epochs=args.stage2_epochs,
     )
     print(f"weights: {weights}; DDIM-{args.steps} ({args.skip_type}), batch {args.batch}")
     print(format_table(rows))

@@ -15,6 +15,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax
+
+# persistent compile cache: through the TPU relay a cold CLI invocation
+# otherwise pays ~15 min of remote recompiles before the first sample
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from attentiondm_tpu.config import load_config, namespace2dict
 
 
@@ -42,6 +51,8 @@ def parse_args_and_config():
                         help="Run stage-2 attention-focused calibration")
     parser.add_argument("--attention_loss_weight", type=float, default=0.5,
                         help="entropy weight for the attention-focused stage-2 calibration")
+    parser.add_argument("--calib_epochs", type=int, default=1,
+                        help="stage-2 trajectory passes (1 = reference-faithful single pass)")
     parser.add_argument("--calib_t_mode", default="real", type=str,
                         choices=["real", "range", "diff", "random"])
     parser.add_argument("--sequence", action="store_true")

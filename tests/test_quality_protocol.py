@@ -51,3 +51,55 @@ def test_bf16_negligible_vs_fp32(protocol_rows):
     r = protocol_rows["bf16"]
     assert r["eps_rel_mse_mean"] < protocol_rows["w4a8_s1"]["eps_rel_mse_mean"]
     assert r["psnr"] > 25.0, protocol_rows
+
+
+def test_kid_proxy_discriminates_degenerate_scale_features():
+    """kid_proxy must stay discriminative when the extractor's features are
+    collapsed in SCALE (the random-Inception case measured at ~1e-19): the
+    standardization rescues relative variation; same-distribution pairs read
+    ~0 and disjoint distributions read >> 0, at any feature scale."""
+    import numpy as np
+    from attentiondm_tpu.tools.quality_protocol import kid_proxy
+
+    rng = np.random.default_rng(0)
+    for scale in (1.0, 1e-19):
+        a = rng.normal(size=(24, 64)) * scale
+        a2 = rng.normal(size=(24, 64)) * scale
+        b = (rng.normal(size=(24, 64)) + 3.0) * scale  # shifted distribution
+        same = abs(kid_proxy(a, a2))
+        diff = kid_proxy(b, a)
+        assert np.isfinite(same) and np.isfinite(diff)
+        assert diff > 10.0 * max(same, 1e-9), (scale, same, diff)
+
+
+def test_stage2_multi_epoch_moves_alphas_more():
+    """epochs=3 must apply 3x the optimizer updates of the reference's
+    single pass (losses length) and move alpha_logits further."""
+    import jax.numpy as jnp
+    from attentiondm_tpu.diffusion import DiffusionSchedule
+    from attentiondm_tpu.quant import QuantizedUNet, calibrate_ranges
+    from attentiondm_tpu.quant.calibrate import calibrate_differentiable
+    from attentiondm_tpu.models import unet_init
+
+    cfg = UNetConfig(ch=64, ch_mult=(1,), num_res_blocks=1, attn_resolutions=(8,),
+                     resolution=8, dropout=0.0)
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    seq = [0, 500]
+    qunet = QuantizedUNet.create(cfg, 8)
+    qs = qunet.init_state(2)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 8, 8, 3))
+    qs = calibrate_ranges(qunet, params, qs, xs, seq, first=True)
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 3))
+
+    moved = {}
+    for ep in (1, 3):
+        qs2, losses = calibrate_differentiable(
+            qunet, params, qs, x0, seq, sched.betas,
+            key=jax.random.PRNGKey(3), epochs=ep,
+        )
+        assert len(losses) == 2 * ep
+        moved[ep] = sum(
+            float(jnp.abs(qs2[n].alpha_logits - qs[n].alpha_logits).sum()) for n in qs
+        )
+    assert moved[3] > moved[1]

@@ -165,3 +165,18 @@ def test_sample_enhanced_with_mixed_precision_attention(tmp_path):
     assert runner.ucfg.attn_variant == "enhanced"
     runner.sample()
     assert os.path.exists(os.path.join(args.image_folder, "grid.png"))
+
+
+def test_contiguous_prefix_resume_point(tmp_path):
+    """--fid resume must restart at the first missing id, not the file
+    count — interrupted multithreaded PNG writes can leave holes."""
+    from attentiondm_tpu.runners.diffusion import _contiguous_prefix
+
+    d = str(tmp_path)
+    assert _contiguous_prefix(d) == 0
+    for i in [0, 1, 2, 3, 5, 6, 99]:  # hole at 4
+        (tmp_path / f"{i}.png").write_bytes(b"x")
+    (tmp_path / "grid.png").write_bytes(b"x")  # non-numeric names ignored
+    assert _contiguous_prefix(d) == 4
+    (tmp_path / "4.png").write_bytes(b"x")
+    assert _contiguous_prefix(d) == 7
