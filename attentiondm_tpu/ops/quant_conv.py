@@ -151,12 +151,41 @@ def _conv3x3_int8_dot(xq_padded, wq, H, W, C, N, block_b=None, interpret=None):
 from ..quant.state import WEIGHT_MSE_SHRINKS
 
 
+def fold_shrink_search(kernel: jax.Array, act_scale: jax.Array, w_bit: int, symmetric: bool):
+    """Per-output-channel MSE-optimal range shrink for the folded kernel
+    g = kernel / act_scale (same grid as quant/state.make_weight_quant_state).
+    Searched once per layer — callers folding per-step pass the result as
+    `shrink` so the per-step fold graph stays candidate-free."""
+    kh, kw, ci, co = kernel.shape
+    g = kernel / act_scale.reshape(1, 1, ci, 1)
+    axes = (0, 1, 2)
+    n = 2 ** (w_bit - 1)
+    ks = jnp.asarray(WEIGHT_MSE_SHRINKS, g.dtype)  # [K]
+
+    def mse_of(k):
+        if symmetric:
+            am = jnp.maximum(jnp.abs(g).max(axis=axes), 1e-8) * k
+            ws_k = (n - 1) / am
+            wzp_k = jnp.zeros_like(ws_k)
+        else:
+            gmin = jnp.minimum(g.min(axis=axes), 0.0) * k
+            gmax = jnp.maximum(g.max(axis=axes), 1e-8) * k
+            ws_k = (2**w_bit - 1) / (gmax - gmin)
+            wzp_k = jnp.round(ws_k * gmin) + 2 ** (w_bit - 1)
+        q = jnp.clip(jnp.round(ws_k * g - wzp_k), -n, n - 1)
+        return jnp.square((q + wzp_k) / ws_k - g).sum(axis=axes)  # [co]
+
+    errs = jax.vmap(mse_of)(ks)  # [K, co]
+    return ks[jnp.argmin(errs, axis=0)]  # [co]
+
+
 def fold_weights_int8(
     kernel: jax.Array,
     act_scale: jax.Array,
     w_bit: int,
     symmetric: bool = False,
     mse_search: bool = True,
+    shrink=None,
 ):
     """Fold per-input-channel activation scales into the HWIO kernel and
     quantize per output channel at w_bit.
@@ -167,9 +196,10 @@ def fold_weights_int8(
     sub-half-bit range cost on near-symmetric conv weights.
 
     `mse_search` shrinks each output channel's range by the grid factor
-    minimizing its weight reconstruction MSE (same search as
-    quant/state.make_weight_quant_state) — the dominant quality lever at 4
-    bits; off reproduces plain min/max ranges.
+    minimizing its weight reconstruction MSE (fold_shrink_search) — the
+    dominant quality lever at 4 bits; pass a precomputed `shrink` [co] to
+    skip the in-graph search (per-step folds), or mse_search=False for plain
+    min/max ranges.
 
     Returns (gq int8 [kh*kw*Cp, Np], ws [Np], wzp [Np], zcorr-ready g_hat
     [kh*kw*Cp, Np] f32) with K and N zero-padded to multiples of 128.
@@ -179,26 +209,12 @@ def fold_weights_int8(
     axes = (0, 1, 2)
     n = 2 ** (w_bit - 1)
 
-    if mse_search:
-        ks = jnp.asarray(WEIGHT_MSE_SHRINKS, g.dtype)  # [K]
-
-        def mse_of(k):
-            if symmetric:
-                am = jnp.maximum(jnp.abs(g).max(axis=axes), 1e-8) * k
-                ws_k = (n - 1) / am
-                wzp_k = jnp.zeros_like(ws_k)
-            else:
-                gmin = jnp.minimum(g.min(axis=axes), 0.0) * k
-                gmax = jnp.maximum(g.max(axis=axes), 1e-8) * k
-                ws_k = (2**w_bit - 1) / (gmax - gmin)
-                wzp_k = jnp.round(ws_k * gmin) + 2 ** (w_bit - 1)
-            q = jnp.clip(jnp.round(ws_k * g - wzp_k), -n, n - 1)
-            return jnp.square((q + wzp_k) / ws_k - g).sum(axis=axes)  # [co]
-
-        errs = jax.vmap(mse_of)(ks)  # [K, co]
-        shrink = ks[jnp.argmin(errs, axis=0)]  # [co]
-    else:
-        shrink = 1.0
+    if shrink is None:
+        shrink = (
+            fold_shrink_search(kernel, act_scale, w_bit, symmetric)
+            if mse_search
+            else 1.0
+        )
 
     if symmetric:
         g_absmax = jnp.maximum(jnp.abs(g).max(axis=axes), 1e-8) * shrink

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..models.unet import conv2d, iter_conv_layers
 from ..ops.quant_conv import (
+    fold_shrink_search,
     fold_weights_int8,
     quantized_conv2d_int8_prefolded,
     zcorr_from_fold,
@@ -55,23 +56,38 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int, 
 
     jit-cached by (kernel shape, S, bits) so the ~6 distinct conv shapes in a
     UNet share compilations instead of one compile per conv (50 remote
-    compiles would dwarf the fold itself)."""
+    compiles would dwarf the fold itself).
+
+    The MSE weight-range shrink is searched ONCE on the mean-over-steps
+    activation scale and shared by every step: the per-channel optimum is
+    insensitive to the smooth per-step scale drift, and an in-map search
+    multiplies the fold graph ~20x (measured as minutes of extra remote
+    compile + fold on the bench path)."""
     kh = kernel.shape[0]
     C = kernel.shape[2]
     n_lv = 2**a_bit - 1
 
-    def per_step(s):
+    def ranges_at(s):
         sw = jax.nn.softmax(alpha_logits[s], axis=0)  # [G, C]
         gr = group_ranges[s]
         rmin = (gr[:, 0:1] * sw).sum(axis=0)
         rmax = (gr[:, 1:2] * sw).sum(axis=0)
         scale = n_lv / (rmax - rmin)
         zp = jnp.round(scale * rmin) + 2 ** (a_bit - 1)
-        gq, ws, wzp, g_hat = fold_weights_int8(kernel, scale, w_bit, symmetric=symmetric)
+        return scale, zp
+
+    S = alpha_logits.shape[0]
+    all_scales, _ = jax.vmap(ranges_at)(jnp.arange(S))  # [S, C]
+    shrink = fold_shrink_search(kernel, all_scales.mean(axis=0), w_bit, symmetric)
+
+    def per_step(s):
+        scale, zp = ranges_at(s)
+        gq, ws, wzp, g_hat = fold_weights_int8(
+            kernel, scale, w_bit, symmetric=symmetric, shrink=shrink
+        )
         zc = zcorr_from_fold(g_hat, zp, kh, C)
         return gq, ws, wzp, zc, scale, zp
 
-    S = alpha_logits.shape[0]
     return jax.lax.map(per_step, jnp.arange(S))
 
 
