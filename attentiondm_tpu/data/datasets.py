@@ -75,8 +75,8 @@ class ImageFolderDataset(_Dataset):
     """Flat folder (recursive) of images -> resized float32 NHWC.
 
     `crop_box` (left, upper, right, lower) is applied before resize —
-    CelebA uses the reference's cx=89/cy=121 140x140 box
-    (datasets/__init__.py:62-107).
+    CelebA uses the reference's cx=89/cy=121 128x128 box (`celeba_crop_box`,
+    ref datasets/__init__.py:62-107).
     """
 
     EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
@@ -112,6 +112,20 @@ class ImageFolderDataset(_Dataset):
         if self.flip and np.random.random() < 0.5:
             x = x[:, ::-1].copy()
         return x, 0
+
+
+class _SubsetDataset(_Dataset):
+    """Index-remapped view of another dataset (the reference's torch Subset)."""
+
+    def __init__(self, base, indices):
+        self.base = base
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.base[int(self.indices[i])]
 
 
 def celeba_crop_box():
@@ -293,7 +307,16 @@ def get_dataset(args, config):
         val_db = os.path.join(lsun_root, f"{cat}_val_lmdb")
         if os.path.isdir(train_db):
             train = LSUNClassDataset(train_db, d.image_size, flip=flip)
-            test = LSUNClassDataset(val_db, d.image_size) if os.path.isdir(val_db) else train
+            if os.path.isdir(val_db):
+                test = LSUNClassDataset(val_db, d.image_size)
+            else:
+                import logging
+
+                logging.warning(
+                    f"LSUN/{cat}: no val lmdb at {val_db}; evaluation will "
+                    "run on the TRAINING set"
+                )
+                test = train
             return train, test
         r = os.path.join(lsun_root, cat)
         if not os.path.isdir(r):
@@ -307,7 +330,14 @@ def get_dataset(args, config):
         if os.path.isfile(os.path.join(r, "data.mdb")) or r.endswith(".mdb"):
             res = getattr(d, "image_size", 256)
             ds = FFHQLmdbDataset(r, d.image_size, resolution=res, flip=flip)
-            return ds, ds
+            # the reference's seeded 90/10 split (datasets/__init__.py:150-177)
+            # applies to the lmdb layout too — without it the "test" set IS
+            # the training set
+            idx = np.random.RandomState(2019).permutation(len(ds))
+            test_n = int(len(ds) * 0.1)
+            return _SubsetDataset(ds, idx[test_n:]), _SubsetDataset(
+                FFHQLmdbDataset(r, d.image_size, resolution=res), idx[:test_n]
+            )
         return FFHQDataset(r, d.image_size, train=True, flip=flip), FFHQDataset(
             r, d.image_size, train=False
         )

@@ -184,7 +184,7 @@ def fold_weights_int8(
     act_scale: jax.Array,
     w_bit: int,
     symmetric: bool = False,
-    mse_search: bool = True,
+    mse_search: bool = False,
     shrink=None,
 ):
     """Fold per-input-channel activation scales into the HWIO kernel and
@@ -197,9 +197,11 @@ def fold_weights_int8(
 
     `mse_search` shrinks each output channel's range by the grid factor
     minimizing its weight reconstruction MSE (fold_shrink_search) — the
-    dominant quality lever at 4 bits; pass a precomputed `shrink` [co] to
-    skip the in-graph search (per-step folds), or mse_search=False for plain
-    min/max ranges.
+    dominant quality lever at 4 bits.  Default OFF here (the inline int8
+    mode would re-run the 20-candidate search per conv per sampler step,
+    ~20x fold-graph blowup); the production per-step folds
+    (quant/int8_runtime._fold_all_steps) search once per layer and pass the
+    result as `shrink` [co].
 
     Returns (gq int8 [kh*kw*Cp, Np], ws [Np], wzp [Np], zcorr-ready g_hat
     [kh*kw*Cp, Np] f32) with K and N zero-padded to multiples of 128.

@@ -50,8 +50,8 @@ def _eligible(kernel_shape, stride=1):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("a_bit", "w_bit", "symmetric"))
-def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int, symmetric: bool = True):
+@functools.partial(jax.jit, static_argnames=("a_bit", "w_bit", "symmetric", "mse_search"))
+def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int, symmetric: bool = True, mse_search: bool = True):
     """Fold + quantize one conv's weights for every sampler step.
 
     jit-cached by (kernel shape, S, bits) so the ~6 distinct conv shapes in a
@@ -77,8 +77,11 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int, 
         return scale, zp
 
     S = alpha_logits.shape[0]
-    all_scales, _ = jax.vmap(ranges_at)(jnp.arange(S))  # [S, C]
-    shrink = fold_shrink_search(kernel, all_scales.mean(axis=0), w_bit, symmetric)
+    if mse_search:
+        all_scales, _ = jax.vmap(ranges_at)(jnp.arange(S))  # [S, C]
+        shrink = fold_shrink_search(kernel, all_scales.mean(axis=0), w_bit, symmetric)
+    else:
+        shrink = jnp.ones((kernel.shape[3],), kernel.dtype)
 
     def per_step(s):
         scale, zp = ranges_at(s)
@@ -92,7 +95,11 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int, 
 
 
 def prepare_int8_runtime(
-    qunet: QuantizedUNet, params, qstates: Dict[str, ActQuantState], symmetric: bool = True
+    qunet: QuantizedUNet,
+    params,
+    qstates: Dict[str, ActQuantState],
+    symmetric: bool = True,
+    mse_search: bool = True,
 ) -> Dict[str, Int8Layer]:
     """Fold + quantize weights for every step of every eligible conv.
 
@@ -110,7 +117,8 @@ def prepare_int8_runtime(
         st = qstates[name]
         pol = qunet.policy[name]
         gq, ws, wzp, zc, scale, zp = _fold_all_steps(
-            kernel, st.group_ranges, st.alpha_logits, pol.a_bit, pol.w_bit, symmetric
+            kernel, st.group_ranges, st.alpha_logits, pol.a_bit, pol.w_bit,
+            symmetric, mse_search
         )
         runtime[name] = Int8Layer(gq=gq, ws=ws, wzp=wzp, zcorr=zc, act_scale=scale, act_zp=zp)
     return runtime

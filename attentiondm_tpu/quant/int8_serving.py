@@ -100,7 +100,17 @@ def prepare_serving_runtime(
 
     `steps` optionally restricts folding to a slice of the sampler schedule —
     the chunked low-HBM mode for big models (see `make_chunked_runtime_fn`).
+
+    Only symmetric (zero-point-free) weight folding is supported: ServingLayer
+    carries no wzp and `_epilogue` has no rowsum term, so an asymmetric fold
+    would silently produce garbage.  Asymmetric weight quantization lives on
+    the interception path (quant/int8_runtime.py).
     """
+    if not symmetric:
+        raise NotImplementedError(
+            "the fused serving path supports symmetric weight folding only; "
+            "use quant/int8_runtime.py for asymmetric weight quantization"
+        )
     runtime: Dict[str, ServingLayer] = {}
     for name, _cin, _k in iter_conv_layers(qunet.cfg):
         node = _lookup(params, name)
@@ -179,20 +189,21 @@ def gn_act_quant_xla(x, gn_p, quant_params, *, act="swish", num_groups=32):
 
 
 def int8_conv(xq, gq_flat, ksize: int, *, stride: int = 1):
-    """int8 NHWC conv on the MXU.  xq [B,H,W,C] int8 (unpadded), gq_flat
-    [kh*kw*Cp, Np] int8.  Returns int32 [B,H,W,Np] (SAME semantics: spatial
-    zero-pad in the int8 domain = the activation's quantized zero because the
-    zero-point correction term accounts for it)."""
+    """1x1 int8 NHWC conv on the MXU.  xq [B,H,W,C] int8 (unpadded), gq_flat
+    [Cp, Np] int8.  Returns int32 [B,H,W,Np].
+
+    1x1 ONLY: spatial padding in the quantized domain is not literal-zero
+    (q=0 decodes to zp/s, not 0.0) — 3x3 convs must use the qzero-halo
+    variants below (int8_conv3_qzero / int8_conv3_qzero_down)."""
+    assert ksize == 1, "use int8_conv3_qzero for 3x3 (quantized-zero halo)"
     B, H, W, C = xq.shape
     Np = gq_flat.shape[-1]
-    Cp = gq_flat.shape[0] // (ksize * ksize)
+    Cp = gq_flat.shape[0]
     if Cp != C:
         xq = jnp.pad(xq, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
-    if ksize == 3:
-        xq = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
     return jax.lax.conv_general_dilated(
         xq,
-        gq_flat.reshape(ksize, ksize, Cp, Np),
+        gq_flat.reshape(1, 1, Cp, Np),
         (stride, stride),
         "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -338,10 +349,14 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
             else:
                 dots = int8_conv(xq, lay.gq, 1)
             x_sc = _epilogue(dots, lay, p[skey]["kernel"].shape[3])
-        else:
-            pol = qunet.policy.get(sname)
+        elif sname in qstates:
+            pol = qunet.policy[sname]
             xq = quantize_activation(hf, qstates[sname], step_idx, pol.a_bit)
             x_sc = conv2d(xq.astype(p[skey]["kernel"].dtype), p[skey])
+        else:
+            # shortcut absent from the quant policy (e.g. conv_shortcut in a
+            # converted checkpoint) — plain FP conv, like the interception path
+            x_sc = conv2d(hf, p[skey])
     else:
         x_sc = hf
     return (x_sc + h).astype(res_dtype)

@@ -386,8 +386,6 @@ class Diffusion:
         if serving:
             # fused int8-resident execution (quant/int8_serving.py) — the
             # path bench.py times; true int8 MACs, one HBM pass per resblock
-            import jax.numpy as jnp
-
             from ..quant.int8_serving import serving_ddim_sampler
 
             qunet = QuantizedUNet.create(

@@ -224,3 +224,19 @@ def test_serving_static_attn_ranges_close_to_f32_core():
     # static scales come from the calibration batch, so slight clipping on a
     # different eval batch is expected — looser bound than the dynamic core
     assert rel < 0.03, rel
+
+
+def test_serving_rejects_asymmetric_fold():
+    """ServingLayer has no wzp and the epilogue no rowsum term; an asymmetric
+    fold must be refused loudly, not silently produce garbage."""
+    import pytest
+
+    from attentiondm_tpu.quant.int8_serving import prepare_serving_runtime
+
+    cfg = UNetConfig(ch=64, ch_mult=(1,), num_res_blocks=1, attn_resolutions=(),
+                     resolution=8, dropout=0.0)
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    qunet = QuantizedUNet.create(cfg, 8)
+    qstates = qunet.init_state(1)
+    with pytest.raises(NotImplementedError):
+        prepare_serving_runtime(qunet, params, qstates, symmetric=False)

@@ -138,3 +138,37 @@ def test_celeba_crop_box_matches_reference():
     left, upper, right, lower = celeba_crop_box()
     assert (right - left, lower - upper) == (128, 128)
     assert (left, upper) == (89 - 64, 121 - 64)
+
+
+def test_ffhq_lmdb_split_disjoint(tmp_path):
+    """get_dataset('FFHQ', lmdb layout) must apply the reference's seeded
+    90/10 split (datasets/__init__.py:150-177) — not return the training set
+    as the test set."""
+    from types import SimpleNamespace
+
+    from attentiondm_tpu.data.datasets import get_dataset
+
+    dbdir = tmp_path / "ffhq"
+    n = 20
+    items = {b"length": str(n).encode()}
+    for i in range(n):
+        items[f"32-{str(i).zfill(5)}".encode()] = _png_bytes((i * 10 % 255, 0, 0), (32, 32))
+    write_lmdb(str(dbdir) + os.sep, items)
+
+    config = SimpleNamespace(
+        data=SimpleNamespace(dataset="FFHQ", image_size=32, random_flip=False)
+    )
+    args = SimpleNamespace(exp=str(tmp_path))
+    # get_dataset roots at <exp>/datasets/ffhq conventionally; probe both
+    import shutil
+
+    dest = tmp_path / "datasets" / "ffhq"
+    dest.parent.mkdir(exist_ok=True)
+    shutil.move(str(dbdir), str(dest))
+    train, test = get_dataset(args, config)
+    assert len(train) == n - int(n * 0.1)
+    assert len(test) == int(n * 0.1)
+    train_ids = {int(train.indices[i]) for i in range(len(train))}
+    test_ids = {int(test.indices[i]) for i in range(len(test))}
+    assert not (train_ids & test_ids)
+    assert train_ids | test_ids == set(range(n))
