@@ -259,3 +259,141 @@ def fused_int8_attention_reference(
     )
     n = 2 ** (a_bit - 1)
     return jnp.clip(jnp.round(out_scale * out - out_zp), -n, n - 1).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# whole-block fused attention: GN -> int8 q/k/v proj -> core -> int8 out proj
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_kernel(
+    x_ref, gnp_ref, oh_ref, sqkv_ref, wq_ref, wk_ref, wv_ref, eqkv_ref,
+    sqo_ref, wo_ref, o_ref, *, inv_count, scale, n_qkv, n_o, bb,
+):
+    """One grid program: `bb` whole images [bb, L, C].
+
+    Everything between the residual read and the residual write lives in
+    VMEM: GN stats (one-hot matmul mixing, no lane reshapes), three int8
+    projections (MXU), f32 logits/softmax/AV (measured free at the
+    reference's L<=256), int8 out-projection, residual add.
+    """
+    from .fused_gn import _gn_normalize, _quant
+
+    x = x_ref[:].astype(jnp.float32)  # [bb, L, C]
+    L, C = x.shape[1], x.shape[2]
+    h = _gn_normalize(x, oh_ref[:], inv_count, gnp_ref[0:1, :], gnp_ref[1:2, :])
+
+    hf = h.reshape(bb * L, C)
+    outs = []
+    for i, w_ref in enumerate((wq_ref, wk_ref, wv_ref)):
+        q8 = _quant(hf, sqkv_ref[2 * i : 2 * i + 1, :], sqkv_ref[2 * i + 1 : 2 * i + 2, :], n_qkv[i])
+        dot = jnp.dot(q8, w_ref[:], preferred_element_type=jnp.int32)
+        outs.append(
+            dot.astype(jnp.float32) * eqkv_ref[2 * i : 2 * i + 1, :]
+            + eqkv_ref[2 * i + 1 : 2 * i + 2, :]
+        )
+    q, k, v = (o.reshape(bb, L, C) for o in outs)
+
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [bb, L, L]
+    m = logits.max(axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / p.sum(axis=-1, keepdims=True)
+    av = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [bb, L, C]
+
+    oq = _quant(av.reshape(bb * L, C), sqo_ref[0:1, :], sqo_ref[1:2, :], n_o)
+    dot_o = jnp.dot(oq, wo_ref[:], preferred_element_type=jnp.int32)
+    out = dot_o.astype(jnp.float32) * sqo_ref[2:3, :] + sqo_ref[3:4, :]
+    o_ref[:] = x + out.reshape(bb, L, C)
+
+
+def fused_attention_block(
+    x: jax.Array,  # [B, L, C] f32 residual stream
+    gn_scale, gn_bias,
+    qkv_quant,  # [(act_scale [C], act_zp [C], a_bit)] * 3 for q, k, v
+    qkv_weights,  # [(gq [C, C] int8, inv_ws [C], zcbias [C])] * 3
+    o_quant,  # (act_scale, act_zp, a_bit) for proj_out input
+    o_weights,  # (gq [C, C] int8, inv_ws [C], zcbias [C])
+    *,
+    scale: float,
+    groups: int = 32,
+    interpret: bool | None = None,
+):
+    """Whole DDIM attention block in ONE HBM pass: reads the residual f32,
+    writes residual + attention f32.  Component ablation measured the
+    unfused chain (GN entry + 3 int32 epilogues + quantize + out conv) at
+    ~8.5 ms/step of the CIFAR serving sampler while the softmax core itself
+    was free — this kernel removes every intermediate HBM round trip.
+
+    Requires C % 128 == 0, the folded weights unpadded (Np == C), and
+    bb*(6*L*C*4 + L*L*4) to fit VMEM; callers fall back to the composed path
+    otherwise (quant/int8_serving._attn_fused handles dispatch).
+    """
+    import numpy as np
+
+    from .fused_gn import _group_onehots
+
+    interpret = _auto_interpret(interpret)
+    B, L, C = x.shape
+    assert C % 128 == 0
+    for gq, _iw, _zc in list(qkv_weights) + [o_weights]:
+        assert gq.shape == (C, C), gq.shape
+
+    onehot, g, cg = _group_onehots(C, groups)
+    inv_count = 1.0 / (L * cg)
+    gnp = jnp.stack([gn_scale.astype(jnp.float32), gn_bias.astype(jnp.float32)])
+    sqkv = jnp.concatenate(
+        [jnp.stack([s.astype(jnp.float32), z.astype(jnp.float32)]) for (s, z, _b) in qkv_quant]
+    )  # [6, C]
+    eqkv = jnp.concatenate(
+        [jnp.stack([iw.astype(jnp.float32), zc.astype(jnp.float32)]) for (_gq, iw, zc) in qkv_weights]
+    )  # [6, C]
+    so, zo, bo = o_quant
+    gq_o, iw_o, zc_o = o_weights
+    sqo = jnp.stack(
+        [so.astype(jnp.float32), zo.astype(jnp.float32), iw_o.astype(jnp.float32), zc_o.astype(jnp.float32)]
+    )  # [4, C]
+    n_qkv = tuple(2 ** (b - 1) for (_s, _z, b) in qkv_quant)
+
+    per_image = 6 * L * C * 4 + L * L * 4
+    budget = 6 * 1024 * 1024
+    bb = 1
+    while bb * 2 * per_image <= budget and (B % (bb * 2) == 0):
+        bb *= 2
+    bb = min(bb, 8)
+    Bp = (B + bb - 1) // bb * bb
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+
+    kern = functools.partial(
+        _attn_block_kernel, inv_count=inv_count, scale=scale,
+        n_qkv=n_qkv, n_o=2 ** (bo - 1), bb=bb,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(Bp // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * (8 * L * C * C + 4 * L * L * C + 20 * L * C),
+            bytes_accessed=Bp * L * C * 8 + 4 * C * C,
+            transcendentals=Bp * L * L,
+        ),
+        interpret=interpret,
+    )(x, gnp, onehot, sqkv, qkv_weights[0][0], qkv_weights[1][0], qkv_weights[2][0], eqkv, sqo, gq_o)
+    return out[:B]

@@ -379,6 +379,31 @@ def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_
     hf = h_res.astype(jnp.float32)
     if all(l is not None for l in lays):
         lq, lk, lv, lo = lays
+        L = H * W
+        # whole-block fused kernel: GN -> int8 q/k/v -> core -> int8 out in
+        # ONE HBM pass (ops/int8_attention.fused_attention_block).  Component
+        # ablation measured the composed chain at ~8.5 ms/step on the CIFAR
+        # serving sampler with the softmax core itself free.
+        fits = (
+            not attn_int8
+            and C % 128 == 0
+            and all(l.gq.shape == (C, C) for l in lays)
+            and 6 * L * C * 4 + L * L * 4 <= 6 * 1024 * 1024
+            and L >= 8
+        )
+        if fits:
+            from ..ops.int8_attention import fused_attention_block
+
+            out_res = fused_attention_block(
+                hf.reshape(B, L, C),
+                p["norm"]["scale"], p["norm"]["bias"],
+                [(l.act_scale, l.act_zp, pol.a_bit) for l, pol in zip(lays[:3], pols[:3])],
+                [(l.gq, l.inv_ws, l.zcbias) for l in lays[:3]],
+                (lo.act_scale, lo.act_zp, pols[3].a_bit),
+                (lo.gq, lo.inv_ws, lo.zcbias),
+                scale=C ** -0.5,
+            )
+            return out_res.reshape(B, H, W, C).astype(res_dtype)
         qp = [(l.act_scale, l.act_zp, pol.a_bit) for l, pol in zip(lays[:3], pols[:3])]
         hq, hk, hv = gn_act_quant_xla(hf, p["norm"], qp, act="none")
         if attn_int8 and lq.zcbias.shape[-1] == C:
@@ -439,6 +464,34 @@ def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_
     return (hf + out).astype(res_dtype)
 
 
+def _attn_fused_enhanced(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype):
+    """EnhancedQSelfAttention on the serving path (reference
+    self_attention.py:118-153; models/unet.py::_attn_apply_enhanced).
+
+    No GroupNorm entry — projections quantize the residual stream directly;
+    each 1x1 projection dispatches through `_conv_any` (int8 when covered,
+    per-projection bit policy: key at max(4, b-2) etc.), the attention core
+    stays an f32 einsum at the reference's short sequence lengths, and the
+    learnable gamma scales the residual.  The stage-3 mixed-precision core
+    (`mp_states`) stays on the interception path.
+    """
+    B, H, W, C = h_res.shape
+    hf = h_res.astype(jnp.float32)
+    q = _conv_any(f"{name}.query_conv", hf, p["query_conv"], rt_i, qunet, qstates, step_idx)
+    k = _conv_any(f"{name}.key_conv", hf, p["key_conv"], rt_i, qunet, qstates, step_idx)
+    v = _conv_any(f"{name}.value_conv", hf, p["value_conv"], rt_i, qunet, qstates, step_idx)
+    Ck = q.shape[-1]
+    q = q.reshape(B, H * W, Ck)
+    k = k.reshape(B, H * W, Ck)
+    v = v.reshape(B, H * W, C)
+    w = jnp.einsum("blc,bmc->blm", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(w * (Ck ** -0.5), axis=-1)
+    out = jnp.einsum("blm,bmc->blc", w, v, preferred_element_type=jnp.float32)
+    out = out.reshape(B, H, W, C)
+    out = _conv_any(f"{name}.output_conv", out, p["output_conv"], rt_i, qunet, qstates, step_idx)
+    return (p["gamma"].astype(jnp.float32) * out + hf).astype(res_dtype)
+
+
 def serving_unet_apply(
     params,
     cfg: UNetConfig,
@@ -456,14 +509,22 @@ def serving_unet_apply(
     """Fused int8-resident forward.  Mirrors models/unet.py::unet_apply
     (inference path) — there is a test asserting the two stay in lockstep.
 
-    Only the "ddim" attention variant is supported; "enhanced"/MP-attention
-    runs use the interception path (quant/int8_runtime.py).
+    The "ddim" and "enhanced" attention variants are supported; the stage-3
+    MP-attention core uses the interception path (quant/int8_runtime.py).
     """
-    if cfg.attn_variant != "ddim":
-        raise NotImplementedError("serving path supports the ddim attention variant")
+    if cfg.attn_variant not in ("ddim", "enhanced"):
+        raise NotImplementedError(f"serving path: unknown attn variant {cfg.attn_variant}")
     rt_i = gather_step(runtime, step_idx)
     ar_i = None if attn_ranges is None else jax.tree_util.tree_map(lambda a: a[step_idx], attn_ranges)
     num_levels = len(cfg.ch_mult)
+
+    if cfg.attn_variant == "enhanced":
+        def attn_site(nm, pp, hh):
+            return _attn_fused_enhanced(nm, pp, hh, rt_i, qunet, qstates, step_idx, residual_dtype)
+    else:
+        def attn_site(nm, pp, hh):
+            return _attn_fused(nm, pp, hh, rt_i, qunet, qstates, step_idx,
+                               residual_dtype, attn_int8, ar_i)
 
     temb = get_timestep_embedding(t, cfg.ch)
     temb = dense(temb, params["temb"]["dense0"])
@@ -483,10 +544,7 @@ def serving_unet_apply(
                 temb, rt_i, qunet, qstates, step_idx, residual_dtype,
             )
             if lp["attn"]:
-                h = _attn_fused(
-                    f"down.{i_level}.attn.{i_block}", lp["attn"][i_block], h,
-                    rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8, ar_i,
-                )
+                h = attn_site(f"down.{i_level}.attn.{i_block}", lp["attn"][i_block], h)
             hs.append(h)
         if i_level != num_levels - 1:
             nm = f"down.{i_level}.downsample"
@@ -510,7 +568,7 @@ def serving_unet_apply(
 
     h = hs[-1]
     h = _resblock_fused("mid.block_1", params["mid"]["block_1"], h, temb, rt_i, qunet, qstates, step_idx, residual_dtype)
-    h = _attn_fused("mid.attn_1", params["mid"]["attn_1"], h, rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8, ar_i)
+    h = attn_site("mid.attn_1", params["mid"]["attn_1"], h)
     h = _resblock_fused("mid.block_2", params["mid"]["block_2"], h, temb, rt_i, qunet, qstates, step_idx, residual_dtype)
 
     for i_level in reversed(range(num_levels)):
@@ -522,10 +580,7 @@ def serving_unet_apply(
                 temb, rt_i, qunet, qstates, step_idx, residual_dtype,
             )
             if lp["attn"]:
-                h = _attn_fused(
-                    f"up.{i_level}.attn.{i_block}", lp["attn"][i_block], h,
-                    rt_i, qunet, qstates, step_idx, residual_dtype, attn_int8, ar_i,
-                )
+                h = attn_site(f"up.{i_level}.attn.{i_block}", lp["attn"][i_block], h)
         if i_level != 0:
             B_, H_, W_, C_ = h.shape
             h = jax.image.resize(h, (B_, 2 * H_, 2 * W_, C_), method="nearest")

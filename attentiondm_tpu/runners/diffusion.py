@@ -378,9 +378,13 @@ class Diffusion:
             and args.bitwidth > 0
             and not use_ddpm
         )
-        if serving and self.ucfg.attn_variant != "ddim":
-            logging.warning("--execution serving supports the ddim attention "
-                            "variant only; falling back to fake_quant")
+        if serving and self.ucfg.attn_variant not in ("ddim", "enhanced"):
+            logging.warning("--execution serving supports the ddim/enhanced "
+                            "attention variants; falling back to fake_quant")
+            serving = False
+        if serving and getattr(args, "mixed_precision_attention", False):
+            logging.warning("stage-3 MP attention runs on the interception "
+                            "path; falling back to fake_quant")
             serving = False
 
         if serving:

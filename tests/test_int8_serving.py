@@ -240,3 +240,34 @@ def test_serving_rejects_asymmetric_fold():
     qstates = qunet.init_state(1)
     with pytest.raises(NotImplementedError):
         prepare_serving_runtime(qunet, params, qstates, symmetric=False)
+
+
+def test_serving_enhanced_attn_variant():
+    """The serving engine supports attn_variant='enhanced': int8 projections
+    through _conv_any, f32 core, gamma residual — must track the fake-quant
+    infer path like the ddim variant does."""
+    import dataclasses
+
+    cfg = UNetConfig(
+        ch=128, ch_mult=(1,), num_res_blocks=1, attn_resolutions=(8,),
+        resolution=8, dropout=0.0, attn_variant="enhanced",
+    )
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    qunet = QuantizedUNet.create(cfg, 8)
+    steps = 2
+    qstates = qunet.init_state(steps)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (steps, 2, 8, 8, 3))
+    seq = [0, 500]
+    qstates = calibrate_ranges(qunet, params, qstates, xs, seq, first=True)
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    assert "mid.attn_1.query_conv" in runtime  # enhanced projections folded
+
+    x = xs[0]
+    t = jnp.full((2,), 5.0)
+    qparams, _ = qunet.prepare_params(params)
+    want = qunet.apply(qparams, qstates, x, t, 0, mode="infer")
+    got = serving_model_fn(qunet, runtime, params, qstates)(x, t, jnp.asarray(0))
+    assert got.shape == want.shape
+    rel = float(jnp.abs(got - want).mean() / (jnp.abs(want).mean() + 1e-9))
+    assert rel < 0.1, rel  # weight-fold quantization differs, like int8-vs-infer
+    assert bool(jnp.isfinite(got).all())
