@@ -252,17 +252,24 @@ class FFHQLmdbDataset(_Dataset):
         return x, 0
 
 
+def ffhq_split_indices(n: int):
+    """The reference's seeded 90/10 split (datasets/__init__.py:165-177):
+    seed-2019 shuffle, train = first 90%, test = LAST 10% — the slicing
+    convention matters for comparability with reference-reported numbers."""
+    indices = np.random.RandomState(2019).permutation(n)
+    cut = int(n * 0.9)
+    return indices[:cut], indices[cut:]
+
+
 class FFHQDataset(ImageFolderDataset):
     """FFHQ folder with the reference's seeded 90/10 train/val split
-    (datasets/__init__.py:150-177: np.random RandomState(2019) permutation)."""
+    (ffhq_split_indices)."""
 
     def __init__(self, root: str, image_size: int, train: bool = True, flip: bool = False):
         probe = ImageFolderDataset(root, image_size)
         paths = probe.paths
-        num = len(paths)
-        indices = np.random.RandomState(2019).permutation(num)
-        test_n = int(num * 0.1)
-        sel = indices[test_n:] if train else indices[:test_n]
+        tr, te = ffhq_split_indices(len(paths))
+        sel = tr if train else te
         super().__init__(root, image_size, flip=flip, paths=[paths[i] for i in sel])
 
 
@@ -330,13 +337,11 @@ def get_dataset(args, config):
         if os.path.isfile(os.path.join(r, "data.mdb")) or r.endswith(".mdb"):
             res = getattr(d, "image_size", 256)
             ds = FFHQLmdbDataset(r, d.image_size, resolution=res, flip=flip)
-            # the reference's seeded 90/10 split (datasets/__init__.py:150-177)
-            # applies to the lmdb layout too — without it the "test" set IS
-            # the training set
-            idx = np.random.RandomState(2019).permutation(len(ds))
-            test_n = int(len(ds) * 0.1)
-            return _SubsetDataset(ds, idx[test_n:]), _SubsetDataset(
-                FFHQLmdbDataset(r, d.image_size, resolution=res), idx[:test_n]
+            # the reference's seeded 90/10 split applies to the lmdb layout
+            # too — without it the "test" set IS the training set
+            tr, te = ffhq_split_indices(len(ds))
+            return _SubsetDataset(ds, tr), _SubsetDataset(
+                FFHQLmdbDataset(r, d.image_size, resolution=res), te
             )
         return FFHQDataset(r, d.image_size, train=True, flip=flip), FFHQDataset(
             r, d.image_size, train=False

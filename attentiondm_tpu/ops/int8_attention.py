@@ -310,6 +310,19 @@ def _attn_block_kernel(
     o_ref[:] = x + out.reshape(bb, L, C)
 
 
+FUSED_ATTN_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def fused_attention_block_fits(L: int, C: int) -> bool:
+    """Shape eligibility for fused_attention_block — the ONE place the
+    VMEM cost model lives (dispatchers must call this, not copy it)."""
+    return (
+        C % 128 == 0
+        and L >= 8
+        and 6 * L * C * 4 + L * L * 4 <= FUSED_ATTN_VMEM_BUDGET
+    )
+
+
 def fused_attention_block(
     x: jax.Array,  # [B, L, C] f32 residual stream
     gn_scale, gn_bias,
@@ -358,14 +371,14 @@ def fused_attention_block(
     )  # [4, C]
     n_qkv = tuple(2 ** (b - 1) for (_s, _z, b) in qkv_quant)
 
+    assert fused_attention_block_fits(L, C), (L, C)
     per_image = 6 * L * C * 4 + L * L * 4
-    budget = 6 * 1024 * 1024
     bb = 1
-    while bb * 2 * per_image <= budget and (B % (bb * 2) == 0):
+    while bb * 2 * per_image <= FUSED_ATTN_VMEM_BUDGET:
         bb *= 2
     bb = min(bb, 8)
     Bp = (B + bb - 1) // bb * bb
-    if Bp != B:
+    if Bp != B:  # odd batches pad up; padded rows are sliced off below
         x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
 
     kern = functools.partial(

@@ -384,15 +384,14 @@ def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_
         # ONE HBM pass (ops/int8_attention.fused_attention_block).  Component
         # ablation measured the composed chain at ~8.5 ms/step on the CIFAR
         # serving sampler with the softmax core itself free.
+        from ..ops.int8_attention import fused_attention_block, fused_attention_block_fits
+
         fits = (
             not attn_int8
-            and C % 128 == 0
+            and fused_attention_block_fits(L, C)
             and all(l.gq.shape == (C, C) for l in lays)
-            and 6 * L * C * 4 + L * L * 4 <= 6 * 1024 * 1024
-            and L >= 8
         )
         if fits:
-            from ..ops.int8_attention import fused_attention_block
 
             out_res = fused_attention_block(
                 hf.reshape(B, L, C),

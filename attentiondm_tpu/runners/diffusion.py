@@ -269,9 +269,15 @@ class Diffusion:
                 attention_focus=True,
                 epochs=int(getattr(args, "calib_epochs", 1) or 1),
             )
+            # NOTE: per-timestep losses along the trajectory are NOT
+            # comparable to each other (the eps-MSE target scale varies with
+            # t), so first->last is not a progress metric; log the count and
+            # endpoints for the record only.
             logging.info(
                 f"stage-2 attention calibration done in {time.time()-t0:.1f}s "
-                f"(loss {losses[0]:.1f} -> {losses[-1]:.1f})"
+                f"({len(losses)} optimizer steps; per-step loss at first/last "
+                f"timestep: {losses[0]:.1f} / {losses[-1]:.1f} — "
+                "not comparable across timesteps)"
             )
         mp_states = None
         if getattr(args, "mixed_precision_attention", False):
@@ -400,6 +406,11 @@ class Diffusion:
             )
             qstates = qunet.init_state(len(list(seq)))
             attn_int8 = bool(getattr(args, "attn_int8", False))
+            if attn_int8 and self.ucfg.attn_variant == "enhanced":
+                logging.warning("--attn_int8 applies to the ddim attention "
+                                "variant only; enhanced serving runs the f32 "
+                                "attention core")
+                attn_int8 = False
             qstates, _mp = self.calibrate_model(
                 params, qunet, qstates, seq, first=True,
                 collect_attn_ranges=attn_int8,

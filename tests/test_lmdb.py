@@ -166,8 +166,14 @@ def test_ffhq_lmdb_split_disjoint(tmp_path):
     dest.parent.mkdir(exist_ok=True)
     shutil.move(str(dbdir), str(dest))
     train, test = get_dataset(args, config)
-    assert len(train) == n - int(n * 0.1)
-    assert len(test) == int(n * 0.1)
+    assert len(train) == int(n * 0.9)
+    assert len(test) == n - int(n * 0.9)
+    # reference slicing convention: train = first 90% of the seed-2019
+    # permutation, test = last 10% (datasets/__init__.py:165-177)
+    import numpy as np
+    perm = np.random.RandomState(2019).permutation(n)
+    assert list(train.indices) == list(perm[: int(n * 0.9)])
+    assert list(test.indices) == list(perm[int(n * 0.9):])
     train_ids = {int(train.indices[i]) for i in range(len(train))}
     test_ids = {int(test.indices[i]) for i in range(len(test))}
     assert not (train_ids & test_ids)
