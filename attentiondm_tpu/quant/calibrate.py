@@ -202,28 +202,30 @@ def calibrate_ranges(
     init (quant_util.py:119-120), which collapses the inference mixture to
     the mean of the group thresholds until stage 2 learns otherwise.
     """
-    t_rev = np.asarray(list(seq))[::-1]
-    n = xs.shape[1]
+    t_rev = np.asarray(list(seq))[::-1].astype(np.float32)
+    S, n = xs.shape[0], xs.shape[1]
 
-    # params are a jit ARGUMENT (closure constants become HLO literals and
-    # overflow remote-compile payload limits on big models)
+    # One on-device lax.scan over the trajectory: the per-step python loop
+    # cost S relay round-trips (~0.5 s each through the axon tunnel — the
+    # bulk of the measured 83 s stage-1); params stay jit ARGUMENTS (closure
+    # constants become HLO literals and overflow remote-compile payload
+    # limits on big models).
     @jax.jit
-    def step(p, qs, x, t, s):
-        new_qs, absmax, _ = calibrate_ranges_step(
-            qunet, p, qs, x, t, s, first, assignment_init
-        )
-        return new_qs, absmax
+    def run(p, qs0, xs_, ts_):
+        def body(qs, inp):
+            x, t_i, s = inp
+            t_vec = jnp.full((n,), t_i, jnp.float32)
+            new_qs, absmax, _ = calibrate_ranges_step(
+                qunet, p, qs, x, t_vec, s, first, assignment_init
+            )
+            return new_qs, absmax
 
-    collected: list = []
-    for i in range(xs.shape[0]):
-        t_vec = jnp.full((n,), float(t_rev[i]), jnp.float32)
-        qstates, absmax = step(params, qstates, xs[i], t_vec, jnp.asarray(i))
-        collected.append(absmax)
+        idxs = jnp.arange(S)
+        return jax.lax.scan(body, qs0, (xs_, jnp.asarray(ts_), idxs))
+
+    qstates, attn_ranges = run(params, qstates, xs, t_rev)
     if not return_attn_ranges:
         return qstates
-    attn_ranges = {
-        name: jnp.stack([c[name] for c in collected]) for name in (collected[0] if collected else {})
-    }
     return qstates, attn_ranges
 
 
@@ -299,49 +301,54 @@ def calibrate_differentiable(
             )
         return out
 
+    # One lax.scan per epoch (the reference's per-timestep optimizer.step,
+    # denoising.py:111-113, as a single on-device program — the python loop
+    # cost S relay round-trips, the bulk of the measured 105 s stage-2)
     @jax.jit
-    def step(p, base_qstates, alphas, opt_state, xt, s, t_i, at, at_next, k):
-        def loss_fn(alphas_):
-            qs = set_alphas(base_qstates, alphas_)
-            # eps-MSE on x_t noised further to a random level? The reference
-            # noises the CURRENT x_t as if it were x0, at level t_i.
-            e = jax.random.normal(k, xt.shape, xt.dtype)
-            a = abar[jnp.asarray(t_i, jnp.int32)]
-            x_noised = xt * jnp.sqrt(a) + e * jnp.sqrt(1.0 - a)
-            t_vec = jnp.full((n,), t_i, jnp.float32)
-            et = qunet.apply(p, qs, x_noised, t_vec, s, mode="mixture")
-            mse = jnp.square(e - et).sum(axis=(1, 2, 3)).mean()
-            ent = 0.0
-            for n_ in sel_names:
-                g, c = alphas_[n_].shape[1], alphas_[n_].shape[2]
-                ent = ent + _alpha_entropy(alphas_[n_][s], g, c)
-            return mse + diff_loss_weight * ent, et
+    def run_epoch(p, base_qstates, alphas, opt_state, x0_, keys):
+        def body(carry, inp):
+            alphas, opt_state, xt = carry
+            s, t_i, at, at_next, k = inp
 
-        (loss, et), grads = jax.value_and_grad(loss_fn, has_aux=True)(alphas)
-        upd, opt_state = opt.update(grads, opt_state, alphas)
-        alphas = optax.apply_updates(alphas, upd)
-        xt_next, _ = ddim_step(xt, et, at, at_next, eta, jnp.zeros_like(xt))
-        return alphas, opt_state, xt_next, loss
+            def loss_fn(alphas_):
+                qs = set_alphas(base_qstates, alphas_)
+                # the reference noises the CURRENT x_t as if it were x0,
+                # at level t_i, with fresh noise
+                e = jax.random.normal(k, xt.shape, xt.dtype)
+                a = abar[jnp.asarray(t_i, jnp.int32)]
+                x_noised = xt * jnp.sqrt(a) + e * jnp.sqrt(1.0 - a)
+                t_vec = jnp.full((n,), t_i, jnp.float32)
+                et = qunet.apply(p, qs, x_noised, t_vec, s, mode="mixture")
+                mse = jnp.square(e - et).sum(axis=(1, 2, 3)).mean()
+                ent = 0.0
+                for n_ in sel_names:
+                    g, c = alphas_[n_].shape[1], alphas_[n_].shape[2]
+                    ent = ent + _alpha_entropy(alphas_[n_][s], g, c)
+                return mse + diff_loss_weight * ent, et
+
+            (loss, et), grads = jax.value_and_grad(loss_fn, has_aux=True)(alphas)
+            upd, opt_state = opt.update(grads, opt_state, alphas)
+            alphas = optax.apply_updates(alphas, upd)
+            xt_next, _ = ddim_step(xt, et, at, at_next, eta, jnp.zeros_like(xt))
+            return (alphas, opt_state, xt_next), loss
+
+        idxs = jnp.arange(S)
+        t_f = jnp.asarray(t_rev, jnp.float32)
+        (alphas, opt_state, _xt), losses = jax.lax.scan(
+            body, (alphas, opt_state, x0_), (idxs, t_f, at_all, at_next_all, keys)
+        )
+        return alphas, opt_state, losses
 
     alphas = alpha0
-    losses = []
+    losses: list = []
     for ep in range(epochs):
-        xt = x0
-        for i in range(S):
-            k = jax.random.fold_in(key, ep * S + i)
-            alphas, opt_state, xt, loss = step(
-                params,
-                qstates,
-                alphas,
-                opt_state,
-                xt,
-                jnp.asarray(i),
-                float(t_rev[i]),
-                at_all[i],
-                at_next_all[i],
-                k,
-            )
-            losses.append(float(loss))
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(ep * S, (ep + 1) * S)
+        )
+        alphas, opt_state, ep_losses = run_epoch(
+            params, qstates, alphas, opt_state, x0, keys
+        )
+        losses.extend(float(v) for v in np.asarray(ep_losses))
     return set_alphas(qstates, alphas), losses
 
 
