@@ -186,6 +186,7 @@ def fold_weights_int8(
     symmetric: bool = False,
     mse_search: bool = False,
     shrink=None,
+    round_offset=None,
 ):
     """Fold per-input-channel activation scales into the HWIO kernel and
     quantize per output channel at w_bit.
@@ -202,6 +203,11 @@ def fold_weights_int8(
     ~20x fold-graph blowup); the production per-step folds
     (quant/int8_runtime._fold_all_steps) search once per layer and pass the
     result as `shrink` [co].
+
+    `round_offset` [kh, kw, ci, co] in {0, 1} replaces round-to-nearest with
+    AdaRound decisions: q = clip(floor(ws*g - wzp) + offset).  The offsets
+    are learned against the layer-output objective on the mean-scale fold
+    (quant/adaround.py) and shared across steps, like `shrink`.
 
     Returns (gq int8 [kh*kw*Cp, Np], ws [Np], wzp [Np], zcorr-ready g_hat
     [kh*kw*Cp, Np] f32) with K and N zero-padded to multiples of 128.
@@ -228,7 +234,10 @@ def fold_weights_int8(
         n_lv = 2**w_bit - 1
         ws = n_lv / (g_max - g_min)  # [co]
         wzp = jnp.round(ws * g_min) + 2 ** (w_bit - 1)
-    gq = jnp.clip(jnp.round(ws * g - wzp), -n, n - 1)
+    if round_offset is None:
+        gq = jnp.clip(jnp.round(ws * g - wzp), -n, n - 1)
+    else:
+        gq = jnp.clip(jnp.floor(ws * g - wzp) + round_offset, -n, n - 1)
     g_hat = (gq + wzp) / ws
 
     # pad the CHANNEL axis so each of the kh*kw sub-blocks stays 128-aligned

@@ -28,9 +28,12 @@ from .attention_mp import (
 from .calibrate import (
     calibrate_ranges,
     calibrate_differentiable,
+    calibrate_teacher_matched,
     select_calibration_images,
     alpha_uncertainty,
 )
+from .adaround import WeightExtras, compute_weight_extras
+from .calib_cache import load_calibration, save_calibration
 from .state import (
     ActQuantConfig,
     ActQuantState,
@@ -45,6 +48,11 @@ from .state import (
 
 __all__ = [
     "QuantizedUNet",
+    "calibrate_teacher_matched",
+    "WeightExtras",
+    "compute_weight_extras",
+    "load_calibration",
+    "save_calibration",
     "make_bit_policy",
     "init_qunet_state",
     "make_weight_states",

@@ -1,0 +1,331 @@
+"""Adaptive weight rounding (AdaRound) + bias correction for low-bit folds.
+
+Round 2 established that at W4 the *weights* are the whole quality story
+(PERFORMANCE.md: w4only == w4a8 on every metric, PSNR 14.5 dB) and that
+per-output-channel round-to-nearest with an MSE range-shrink search is the
+ceiling of that approach.  This module implements the two standard PTQ
+upgrades beyond round-to-nearest, both serving-compatible (they change the
+fold, not the kernels):
+
+- **AdaRound** (Nagel et al. 2020, arXiv:2004.10568): learn each weight's
+  round-up/round-down decision by minimizing the layer's *output*
+  reconstruction error on calibration activations, instead of the weight-MSE
+  proxy.  The data term uses the layer-input Gram matrix H = E[x_patch
+  x_patch^T], so the optimization is a small quadratic program per layer —
+  no forward passes inside the loop:
+
+      min_h  sum_n (W_hat(h) - W)[:, n]^T H (W_hat(h) - W)[:, n]
+             + lam * f_reg(h),   h in [0, 1]^{K x N}
+
+  with the rectified-sigmoid parameterization and the annealed |2h-1|^beta
+  regularizer pushing h to {0, 1}.
+
+- **Bias correction**: the quantized weights shift the expected layer output
+  by E[x]^T (W_hat - W); subtracting mu^T (W_hat - W) from the epilogue
+  constant removes the systematic part of the quantization error.
+
+Reference counterpart: the intended real weight quantization at
+/root/reference/utils/quant_util.py:284-303 (shipped as defect D4); the
+reference has no rounding optimization — this is where the rebuild goes
+beyond it to hit the low-bitwidth quality claim (README.md:40-46).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.unet import UNetConfig, conv2d, iter_conv_layers, unet_apply
+
+# Layers whose im2col Gram exceeds this K are skipped (H is K^2 floats;
+# K = kh*kw*cin).  4800 covers every CIFAR-10 layer (max K = 9*512 = 4608);
+# 256x256 models keep round-to-nearest on their largest up-blocks.
+GRAM_K_CAP = 4800
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ConvStats:
+    """Accumulated input statistics for one conv layer.
+
+    gram  [K, K]  sum of x_patch x_patch^T over calibration pixels (or a
+                  zero [1, 1] placeholder when K > GRAM_K_CAP)
+    mu    [K]     sum of x_patch (divide by count for the mean)
+    count []      number of accumulated patches
+    """
+
+    gram: jax.Array
+    mu: jax.Array
+    count: jax.Array
+
+
+def _im2col(x: jax.Array, ksize: int) -> jax.Array:
+    """NHWC -> [B*H*W, kh*kw*C] patches in (dy, dx, c) order — the same row
+    ordering as ops/quant_conv.fold_weights_int8's flattened HWIO kernel."""
+    B, H, W, C = x.shape
+    if ksize == 1:
+        return x.reshape(B * H * W, C)
+    assert ksize == 3
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = [xp[:, dy : dy + H, dx : dx + W, :] for dy in range(3) for dx in range(3)]
+    return jnp.concatenate(cols, axis=-1).reshape(B * H * W, 9 * C)
+
+
+def init_conv_stats(cfg: UNetConfig, names: Sequence[str] | None = None,
+                    k_cap: int = GRAM_K_CAP) -> Dict[str, ConvStats]:
+    """Zero-initialized stats for every (selected) conv of the UNet."""
+    out = {}
+    for name, cin, k in iter_conv_layers(cfg):
+        if names is not None and name not in names:
+            continue
+        K = k * k * cin
+        gram_dim = K if K <= k_cap else 1
+        out[name] = ConvStats(
+            gram=jnp.zeros((gram_dim, gram_dim), jnp.float32),
+            mu=jnp.zeros((K,), jnp.float32),
+            count=jnp.zeros((), jnp.float32),
+        )
+    return out
+
+
+def collect_conv_stats(
+    params,
+    cfg: UNetConfig,
+    xs: jax.Array,  # [S, N, H, W, C] trajectory model inputs (FP teacher x_t)
+    seq: Sequence[int],
+    *,
+    max_steps: int = 8,
+    names: Sequence[str] | None = None,
+    k_cap: int = GRAM_K_CAP,
+) -> Dict[str, ConvStats]:
+    """Accumulate per-layer input Grams/means over a subsample of the
+    calibration trajectory (evenly spaced steps; the rounding decisions are
+    shared across steps, so the objective pools steps too).
+
+    Runs the FP32 forward — at 8-bit activations the quantized-path inputs
+    are measured near-identical (PERFORMANCE.md: activations "essentially
+    free"), and the FP teacher is the standard AdaRound proxy.
+    """
+    t_rev = np.asarray(list(seq))[::-1].astype(np.float32)
+    S = xs.shape[0]
+    sel = np.unique(np.linspace(0, S - 1, min(max_steps, S)).astype(int))
+    stats = init_conv_stats(cfg, names, k_cap)
+    want = set(stats.keys())
+
+    @jax.jit
+    def step(p, st, x, t):
+        upd = {}
+
+        def conv_apply(name, xin, pp, *, stride=1, padding="SAME"):
+            kh = pp["kernel"].shape[0]
+            if name in want and stride == 1 and kh in (1, 3):
+                pat = _im2col(xin.astype(jnp.float32), kh)
+                g = (
+                    pat.T @ pat
+                    if st[name].gram.shape[0] == pat.shape[1]
+                    else jnp.zeros((1, 1), jnp.float32)
+                )
+                upd[name] = (g, pat.sum(axis=0), jnp.float32(pat.shape[0]))
+            return conv2d(xin, pp, stride=stride, padding=padding)
+
+        _ = unet_apply(p, cfg, x, t, conv_apply=conv_apply)
+        new = {}
+        for name, s0 in st.items():
+            if name in upd:
+                g, m, c = upd[name]
+                new[name] = ConvStats(gram=s0.gram + g, mu=s0.mu + m, count=s0.count + c)
+            else:
+                new[name] = s0
+        return new
+
+    for i in sel:
+        t_vec = jnp.full((xs.shape[1],), t_rev[i], jnp.float32)
+        stats = step(params, stats, xs[i], t_vec)
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# AdaRound optimization (per layer, jitted, shape-cached)
+# ---------------------------------------------------------------------------
+
+_GAMMA, _ZETA = -0.1, 1.1  # rectified-sigmoid stretch (AdaRound paper §3)
+
+
+def _h_of(v):
+    return jnp.clip(jax.nn.sigmoid(v) * (_ZETA - _GAMMA) + _GAMMA, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("w_bit", "symmetric", "iters"))
+def _adaround_opt(g, gram, shrink, *, w_bit: int, symmetric: bool, iters: int):
+    """Optimize rounding offsets for one folded weight matrix.
+
+    g      [K, N]  scale-folded weights (kernel / act_scale, flattened HWIO)
+    gram   [K, K]  input Gram (unnormalized; scale cancels via normalization)
+    shrink [N]     per-channel range shrink from the MSE search
+    Returns h_hard [K, N] in {0, 1} (float32).
+    """
+    n = 2 ** (w_bit - 1)
+    if symmetric:
+        am = jnp.maximum(jnp.abs(g).max(axis=0), 1e-8) * shrink
+        ws = (n - 1) / am
+        wzp = jnp.zeros_like(ws)
+    else:
+        gmin = jnp.minimum(g.min(axis=0), 0.0) * shrink
+        gmax = jnp.maximum(g.max(axis=0), 1e-8) * shrink
+        ws = (2**w_bit - 1) / (gmax - gmin)
+        wzp = jnp.round(ws * gmin) + n
+    base = ws[None, :] * g - wzp[None, :]
+    fl = jnp.floor(base)
+    r = jnp.clip(base - fl, 1e-4, 1.0 - 1e-4)
+    # init so h(v0) == r (soft rounding starts at the exact value)
+    v0 = -jnp.log((_ZETA - _GAMMA) / (r - _GAMMA) - 1.0)
+
+    def recon(h):
+        q = jnp.clip(fl + h, -n, n - 1)
+        d = (q + wzp[None, :]) / ws[None, :] - g
+        return jnp.sum(d * (gram @ d))
+
+    e_rtn = jnp.maximum(recon((r > 0.5).astype(g.dtype)), 1e-30)
+
+    opt = optax.adam(1e-2)
+
+    def loss_fn(v, beta, reg_w):
+        h = _h_of(v)
+        reg = jnp.mean(1.0 - jnp.abs(2.0 * h - 1.0) ** beta)
+        return recon(h) / e_rtn + reg_w * reg
+
+    def body(i, carry):
+        v, opt_state = carry
+        frac = i / iters
+        beta = 20.0 - 18.0 * frac  # anneal 20 -> 2
+        reg_w = jnp.where(frac > 0.2, 0.1, 0.0)  # warmup: data term only
+        grads = jax.grad(loss_fn)(v, beta, reg_w)
+        upd, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(v, upd), opt_state
+
+    v, _ = jax.lax.fori_loop(0, iters, body, (v0, opt.init(v0)))
+    return (_h_of(v) > 0.5).astype(jnp.float32)
+
+
+def adaround_offsets(
+    kernel: jax.Array,  # HWIO
+    act_scale: jax.Array,  # [ci] mean-over-steps activation quant scale
+    stats: ConvStats,
+    w_bit: int,
+    *,
+    symmetric: bool = True,
+    shrink=None,
+    iters: int = 1000,
+):
+    """Per-layer AdaRound: returns rounding offsets [kh, kw, ci, co] in
+    {0, 1}, or None when the layer has no Gram (K over the cap or no data)."""
+    kh, kw, ci, co = kernel.shape
+    K = kh * kw * ci
+    if stats.gram.shape[0] != K or float(stats.count) <= 0:
+        return None
+    g = (kernel / act_scale.reshape(1, 1, ci, 1)).reshape(K, co)
+    if shrink is None:
+        from ..ops.quant_conv import fold_shrink_search
+
+        shrink = fold_shrink_search(kernel, act_scale, w_bit, symmetric)
+    h = _adaround_opt(
+        g.astype(jnp.float32),
+        stats.gram / jnp.maximum(stats.count, 1.0),
+        jnp.broadcast_to(jnp.asarray(shrink, jnp.float32), (co,)),
+        w_bit=w_bit,
+        symmetric=symmetric,
+        iters=iters,
+    )
+    return h.reshape(kh, kw, ci, co)
+
+
+# ---------------------------------------------------------------------------
+# driver: offsets + means for every serving-eligible layer
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class WeightExtras:
+    """Optional per-layer weight-quality artifacts consumed by the fold.
+
+    round_offset [kh, kw, ci, co] in {0,1} — AdaRound decisions (floor + h);
+                 zeros-shaped placeholder is never stored: absent layers are
+                 simply missing from the dict and fall back to round().
+    mu           [kh*kw*ci] mean im2col input row — bias-correction vector.
+    """
+
+    round_offset: jax.Array | None
+    mu: jax.Array | None
+
+
+def compute_weight_extras(
+    qunet,
+    params,
+    qstates,
+    xs: jax.Array,
+    seq: Sequence[int],
+    *,
+    symmetric: bool = True,
+    iters: int = 1000,
+    max_steps: int = 8,
+    adaround_max_wbit: int = 6,
+    bias_correct: bool = True,
+    progress=None,
+) -> Dict[str, WeightExtras]:
+    """Full pipeline: collect stats on the calibration trajectory, then run
+    AdaRound per serving-eligible layer (at w_bit <= adaround_max_wbit —
+    measured negligible at 8 bits) and package bias-correction means.
+
+    `qstates` provide the per-step activation scales; the fold-equivalent
+    mean scale (same as _fold_all_steps' shrink search) anchors the grid.
+    """
+    from .int8_runtime import _eligible
+    from .state import mixed_ranges
+
+    names = []
+    kernels = {}
+    for name, _cin, _k in iter_conv_layers(qunet.cfg):
+        node = params
+        for p in name.split("."):
+            node = node[int(p)] if isinstance(node, list) else node[p]
+        if _eligible(node["kernel"].shape) and name in qstates:
+            names.append(name)
+            kernels[name] = node["kernel"]
+
+    stats = collect_conv_stats(params, qunet.cfg, xs, seq, max_steps=max_steps, names=names)
+
+    @jax.jit
+    def mean_scale(st, a_bit: int):
+        S = st.alpha_logits.shape[0]
+        n_lv = 2**a_bit - 1
+
+        def at(s):
+            rmin, rmax = mixed_ranges(st, s)
+            return n_lv / (rmax - rmin)
+
+        return jax.vmap(at)(jnp.arange(S)).mean(axis=0)
+
+    out: Dict[str, WeightExtras] = {}
+    for name in names:
+        pol = qunet.policy[name]
+        scale = mean_scale(qstates[name], pol.a_bit)
+        offs = None
+        if pol.w_bit <= adaround_max_wbit:
+            offs = adaround_offsets(
+                kernels[name], scale, stats[name], pol.w_bit,
+                symmetric=symmetric, iters=iters,
+            )
+        mu = None
+        if bias_correct and float(stats[name].count) > 0:
+            mu = stats[name].mu / jnp.maximum(stats[name].count, 1.0)
+        if offs is not None or mu is not None:
+            out[name] = WeightExtras(round_offset=offs, mu=mu)
+        if progress is not None:
+            progress(name, offs is not None)
+    return out

@@ -353,6 +353,113 @@ def calibrate_differentiable(
 
 
 # ---------------------------------------------------------------------------
+# Stage 2, teacher-matched variant (round-3 addition, VERDICT r2 item 2)
+# ---------------------------------------------------------------------------
+
+
+def calibrate_teacher_matched(
+    qunet: QuantizedUNet,
+    forward_params,
+    qstates: Dict[str, ActQuantState],
+    xs_in: jax.Array,  # [S, N, H, W, C] FP teacher trajectory model inputs
+    eps_ref: jax.Array,  # [S, N, H, W, C] FP teacher eps predictions
+    seq: Sequence[int],
+    *,
+    lr: float = 0.01,
+    epochs: int = 4,
+    attention_focus: bool = False,
+    train_alpha: bool = True,
+    train_range_scale: bool = True,
+):
+    """Distillation-objective stage 2: optimize the activation-quantization
+    parameters to minimize ||eps_q - eps_fp32||^2 on the teacher's OWN
+    trajectory — the exact quantity the quality protocol scores.
+
+    The reference's stage 2 (fresh-noise MSE + entropy, denoising.py:62-116)
+    was measured quality-neutral (PERFORMANCE.md); this mode replaces its
+    objective, not its machinery: same per-timestep optimizer steps along the
+    trajectory, but (a) the loss is the per-step relative eps error against
+    precomputed FP32 teacher outputs, (b) the forward runs the *inference*
+    path (softmax-mixed ranges + STE fake-quant) so the learned parameters
+    transfer 1:1 to the serving fold (quant/int8_runtime._fold_all_steps
+    derives its act scales from the same mixed ranges), and (c) besides
+    `alpha_logits` it can learn a per-layer per-step log range-scale `rho`
+    (group_ranges * exp(rho[s])) — a direct clipping-vs-rounding knob the
+    alpha mixture cannot express.
+
+    `forward_params` should be the weight-quantized params (prepare_params)
+    so the objective sees deployment weights.  Returns (qstates', losses).
+    """
+    sel_names = [
+        n
+        for n in qstates
+        if (not attention_focus) or (".attn" in n or n.startswith("mid.attn"))
+    ]
+    t_rev = np.asarray(list(seq))[::-1].astype(np.float32)
+    S, n = xs_in.shape[0], xs_in.shape[1]
+
+    theta0 = {}
+    if train_alpha:
+        theta0["alpha"] = {n_: qstates[n_].alpha_logits for n_ in sel_names}
+    if train_range_scale:
+        theta0["rho"] = {n_: jnp.zeros((S,), jnp.float32) for n_ in sel_names}
+    if not theta0:
+        return qstates, []
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(theta0)
+
+    def apply_theta(qs, theta):
+        out = dict(qs)
+        for n_ in sel_names:
+            st = out[n_]
+            alpha = theta["alpha"][n_] if "alpha" in theta else st.alpha_logits
+            gr = st.group_ranges
+            if "rho" in theta:
+                gr = gr * jnp.exp(theta["rho"][n_])[:, None, None]
+            out[n_] = ActQuantState(
+                init_range=st.init_range,
+                act_min=st.act_min,
+                act_max=st.act_max,
+                group_ranges=gr,
+                alpha_logits=alpha,
+            )
+        return out
+
+    @jax.jit
+    def run_epoch(p, base_qstates, theta, opt_state, xs_, eref_):
+        def body(carry, inp):
+            theta, opt_state = carry
+            s, t_i, x_s, e_s = inp
+
+            def loss_fn(th):
+                qs = apply_theta(base_qstates, th)
+                t_vec = jnp.full((n,), t_i, jnp.float32)
+                et = qunet.apply(p, qs, x_s, t_vec, s, mode="infer")
+                return jnp.mean(jnp.square(et - e_s)) / jnp.mean(jnp.square(e_s))
+
+            loss, grads = jax.value_and_grad(loss_fn)(theta)
+            upd, opt_state = opt.update(grads, opt_state)
+            theta = optax.apply_updates(theta, upd)
+            return (theta, opt_state), loss
+
+        idxs = jnp.arange(S)
+        (theta, opt_state), losses = jax.lax.scan(
+            body, (theta, opt_state), (idxs, jnp.asarray(t_rev), xs_, eref_)
+        )
+        return theta, opt_state, losses
+
+    theta = theta0
+    losses: list = []
+    for _ep in range(epochs):
+        theta, opt_state, ep_losses = run_epoch(
+            forward_params, qstates, theta, opt_state, xs_in, eps_ref
+        )
+        losses.extend(float(v) for v in np.asarray(ep_losses))
+    return apply_theta(qstates, theta), losses
+
+
+# ---------------------------------------------------------------------------
 # Calibration-set generation (all four t-modes)
 # ---------------------------------------------------------------------------
 

@@ -51,7 +51,9 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("a_bit", "w_bit", "symmetric", "mse_search"))
-def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int, symmetric: bool = True, mse_search: bool = True):
+def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int,
+                    symmetric: bool = True, mse_search: bool = True,
+                    round_offset=None, input_mu=None):
     """Fold + quantize one conv's weights for every sampler step.
 
     jit-cached by (kernel shape, S, bits) so the ~6 distinct conv shapes in a
@@ -62,9 +64,16 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int, 
     activation scale and shared by every step: the per-channel optimum is
     insensitive to the smooth per-step scale drift, and an in-map search
     multiplies the fold graph ~20x (measured as minutes of extra remote
-    compile + fold on the bench path)."""
+    compile + fold on the bench path).
+
+    `round_offset` [kh, kw, C, co] in {0,1}: AdaRound decisions replacing
+    round-to-nearest (quant/adaround.py), shared across steps like shrink.
+    `input_mu` [kh*kw*C]: mean im2col input row; when given, each step's
+    epilogue constant absorbs the bias correction mu^T (g - g_hat) that
+    cancels the systematic weight-quantization output shift."""
     kh = kernel.shape[0]
     C = kernel.shape[2]
+    co = kernel.shape[3]
     n_lv = 2**a_bit - 1
 
     def ranges_at(s):
@@ -86,9 +95,17 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int, 
     def per_step(s):
         scale, zp = ranges_at(s)
         gq, ws, wzp, g_hat = fold_weights_int8(
-            kernel, scale, w_bit, symmetric=symmetric, shrink=shrink
+            kernel, scale, w_bit, symmetric=symmetric, shrink=shrink,
+            round_offset=round_offset,
         )
         zc = zcorr_from_fold(g_hat, zp, kh, C)
+        if input_mu is not None:
+            # bias correction: + mu^T (g - g_hat) on the unpadded rows
+            g = (kernel / scale.reshape(1, 1, C, 1)).reshape(kh * kh * C, co)
+            Cp = g_hat.shape[0] // (kh * kh)
+            gh = g_hat.reshape(kh * kh, Cp, -1)[:, :C, :co].reshape(kh * kh * C, co)
+            corr = input_mu @ (g - gh)  # [co]
+            zc = zc.at[:co].add(corr)
         return gq, ws, wzp, zc, scale, zp
 
     return jax.lax.map(per_step, jnp.arange(S))
@@ -100,12 +117,16 @@ def prepare_int8_runtime(
     qstates: Dict[str, ActQuantState],
     symmetric: bool = True,
     mse_search: bool = True,
+    weight_extras=None,
 ) -> Dict[str, Int8Layer]:
     """Fold + quantize weights for every step of every eligible conv.
 
     `symmetric` (default) uses zero-point-free weight quantization — the
     epilogue drops its rowsum term (faster; sub-half-bit range cost on
-    near-symmetric conv weights)."""
+    near-symmetric conv weights).
+
+    `weight_extras` {name: WeightExtras} (quant/adaround.py) supplies
+    AdaRound offsets and/or bias-correction means per layer."""
     runtime: Dict[str, Int8Layer] = {}
     for name, _cin, _k in iter_conv_layers(qunet.cfg):
         node = params
@@ -116,9 +137,12 @@ def prepare_int8_runtime(
             continue
         st = qstates[name]
         pol = qunet.policy[name]
+        ex = weight_extras.get(name) if weight_extras else None
         gq, ws, wzp, zc, scale, zp = _fold_all_steps(
             kernel, st.group_ranges, st.alpha_logits, pol.a_bit, pol.w_bit,
-            symmetric, mse_search
+            symmetric, mse_search,
+            round_offset=None if ex is None else ex.round_offset,
+            input_mu=None if ex is None else ex.mu,
         )
         runtime[name] = Int8Layer(gq=gq, ws=ws, wzp=wzp, zcorr=zc, act_scale=scale, act_zp=zp)
     return runtime

@@ -95,11 +95,16 @@ def prepare_serving_runtime(
     qstates: Dict[str, ActQuantState],
     symmetric: bool = True,
     steps: slice | None = None,
+    weight_extras=None,
 ) -> Dict[str, ServingLayer]:
     """Fold weights for every eligible conv into serving form.
 
     `steps` optionally restricts folding to a slice of the sampler schedule —
     the chunked low-HBM mode for big models (see `make_chunked_runtime_fn`).
+
+    `weight_extras` {name: quant.adaround.WeightExtras} supplies AdaRound
+    rounding offsets and bias-correction means — the W4 quality levers
+    (they change the fold only; the serving kernels are untouched).
 
     Only symmetric (zero-point-free) weight folding is supported: ServingLayer
     carries no wzp and `_epilogue` has no rowsum term, so an asymmetric fold
@@ -121,8 +126,11 @@ def prepare_serving_runtime(
         pol = qunet.policy[name]
         gr = st.group_ranges if steps is None else st.group_ranges[steps]
         al = st.alpha_logits if steps is None else st.alpha_logits[steps]
+        ex = weight_extras.get(name) if weight_extras else None
         gq, ws, wzp, zc, scale, zp = _fold_all_steps(
-            kernel, gr, al, pol.a_bit, pol.w_bit, symmetric
+            kernel, gr, al, pol.a_bit, pol.w_bit, symmetric,
+            round_offset=None if ex is None else ex.round_offset,
+            input_mu=None if ex is None else ex.mu,
         )
         co = kernel.shape[3]
         Np = gq.shape[-1]
@@ -619,10 +627,12 @@ def serving_ddim_sampler(
     *,
     eta: float = 0.0,
     step_chunk: int | None = None,
+    micro_batch: int | None = None,
     residual_dtype=jnp.float32,
     symmetric: bool = True,
     attn_int8: bool = True,
     attn_ranges=None,
+    weight_extras=None,
 ):
     """Build a jitted DDIM sampler over the fused int8 serving path.
 
@@ -632,6 +642,18 @@ def serving_ddim_sampler(
     steps would be 11-30 GB and NEED chunking).  The fold work is identical
     either way — chunking trades nothing but a second scan compile for the
     memory bound.  Chunked and unchunked outputs are identical (tested).
+
+    `micro_batch=m` (chunked mode only) advances the batch through each
+    chunk m images at a time: pass a large x (a "superbatch") and the fold
+    work per chunk is paid once per superbatch instead of once per
+    activation-sized batch — a 50k `--fid` run's fold overhead drops by the
+    superbatch/micro ratio.  Activation HBM stays bounded by m.  With
+    eta > 0 each micro-batch draws an independent noise stream
+    (jax.random.fold_in(key, i)), so outputs match the un-micro-batched
+    sampler only at eta == 0 (the canonical DDIM config).
+
+    `weight_extras` {name: quant.adaround.WeightExtras}: AdaRound offsets +
+    bias-correction means threaded into every fold.
 
     Returns ``sample(x, key=None) -> x_final``.
     """
@@ -664,7 +686,9 @@ def serving_ddim_sampler(
     seg_jit = jax.jit(_scan_segment)
 
     if step_chunk is None:
-        runtime = prepare_serving_runtime(qunet, params, qstates, symmetric=symmetric)
+        runtime = prepare_serving_runtime(
+            qunet, params, qstates, symmetric=symmetric, weight_extras=weight_extras
+        )
 
         def sample(x, key=None):
             key = jax.random.PRNGKey(0) if key is None else key
@@ -678,14 +702,22 @@ def serving_ddim_sampler(
 
     def sample(x, key=None):
         key = jax.random.PRNGKey(0) if key is None else key
+        mb = micro_batch or x.shape[0]
+        n_mb = -(-x.shape[0] // mb)
+        xs = [x[i * mb : (i + 1) * mb] for i in range(n_mb)]
+        keys = [key if n_mb == 1 else jax.random.fold_in(key, i) for i in range(n_mb)]
         for c0, c1 in bounds:
             sl = slice(c0, c1)
-            rt = prepare_serving_runtime(qunet, params, qstates, symmetric=symmetric, steps=sl)
+            rt = prepare_serving_runtime(
+                qunet, params, qstates, symmetric=symmetric, steps=sl,
+                weight_extras=weight_extras,
+            )
             qs = _slice_states(qstates, sl)
             ar = None if attn_ranges is None else jax.tree_util.tree_map(lambda a: a[sl], attn_ranges)
-            x, key = seg_jit(params, qs, rt, ar, x, key,
-                             t_rev[sl].astype(jnp.float32), at[sl], at_next[sl])
-        return x
+            for i in range(n_mb):
+                xs[i], keys[i] = seg_jit(params, qs, rt, ar, xs[i], keys[i],
+                                         t_rev[sl].astype(jnp.float32), at[sl], at_next[sl])
+        return xs[0] if n_mb == 1 else jnp.concatenate(xs, axis=0)
 
     return sample
 

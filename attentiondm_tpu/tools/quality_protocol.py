@@ -176,6 +176,9 @@ def run_protocol(
     kid: bool = False,
     stage2_lr: float = 0.05,
     stage2_epochs: int = 1,
+    adaround: bool = False,
+    adaround_iters: int = 600,
+    stage2_teacher: bool = False,
 ):
     """Returns {row_name: {"eps_rel_mse_mean", "eps_rel_mse_max", "psnr"[, "kid"]}}.
 
@@ -316,6 +319,24 @@ def run_protocol(
         xf_q, eps_q = run_q(qparams, qstates, x_init, xs_in)
         add_row(f"w{w_bit}a{a_bit}_s1", eps_q, xf_q)
 
+        qstates_tm = None
+        if stage2_teacher:
+            # teacher-matched stage 2 (round 3): optimize alpha + range
+            # scale against the FP32 teacher's eps on its own trajectory
+            from ..quant.calibrate import calibrate_teacher_matched
+
+            @jax.jit
+            def calib_eps_ref(p, xs):
+                return _eps_scan(fp_fn_of(p), xs, t_rev)
+
+            eps_cal_ref = calib_eps_ref(params, xs_cal)
+            qstates_tm, _tml = calibrate_teacher_matched(
+                qunet, qparams, qstates, xs_cal, eps_cal_ref, seq,
+                lr=0.02, epochs=8,
+            )
+            xf_t, eps_t = run_q(qparams, qstates_tm, x_init, xs_in)
+            add_row(f"w{w_bit}a{a_bit}_s12t", eps_t, xf_t)
+
         if stage2:
             qstates2, _losses = calibrate_differentiable(
                 qunet, params, qstates, imgs_cal, seq, sched.betas,
@@ -353,21 +374,22 @@ def run_protocol(
                 serving_unet_apply,
             )
 
-            for res_dtype, suffix in ((jnp.float32, ""), (jnp.bfloat16, "_bf16res")):
+            def serving_row(suffix, qs, extras, res_dtype):
                 sample = serving_ddim_sampler(
-                    qunet, params, qstates, seq, sched.betas,
+                    qunet, params, qs, seq, sched.betas,
                     residual_dtype=res_dtype, attn_int8=False,
+                    weight_extras=extras,
                 )
                 xf_s = sample(x_init)
-                runtime = prepare_serving_runtime(qunet, params, qstates)
+                runtime = prepare_serving_runtime(qunet, params, qs, weight_extras=extras)
 
                 @functools.partial(jax.jit, static_argnums=())
-                def eps_serving(p, rt, qs, xs):
+                def eps_serving(p, rt, qs_, xs):
                     def body(_, inp):
                         x, t_i, i = inp
                         t = jnp.full((x.shape[0],), t_i, jnp.float32)
                         e = serving_unet_apply(
-                            p, cfg, qunet, rt, qs, x, t, i,
+                            p, cfg, qunet, rt, qs_, x, t, i,
                             residual_dtype=res_dtype, attn_int8=False,
                         )
                         return None, e
@@ -378,8 +400,33 @@ def run_protocol(
                     )
                     return eps
 
-                eps_s = eps_serving(params, runtime, qstates, xs_in)
+                eps_s = eps_serving(params, runtime, qs, xs_in)
                 add_row(f"int8_w{w_bit}a{a_bit}{suffix}", eps_s, xf_s)
+
+            serving_row("", qstates, None, jnp.float32)
+            serving_row("_bf16res", qstates, None, jnp.bfloat16)
+
+            if adaround:
+                # the round-3 weight-quality ladder: bias correction alone,
+                # AdaRound + bias correction, and the full combo on the
+                # teacher-matched stage-2 states
+                from ..quant.adaround import WeightExtras, compute_weight_extras
+
+                extras = compute_weight_extras(
+                    qunet, params, qstates, xs_cal, seq, iters=adaround_iters
+                )
+                extras_bc = {
+                    n: WeightExtras(round_offset=None, mu=e.mu)
+                    for n, e in extras.items()
+                }
+                serving_row("_bc", qstates, extras_bc, jnp.float32)
+                serving_row("_ar", qstates, extras, jnp.float32)
+                serving_row("_ar_bf16res", qstates, extras, jnp.bfloat16)
+                if qstates_tm is not None:
+                    extras_tm = compute_weight_extras(
+                        qunet, params, qstates_tm, xs_cal, seq, iters=adaround_iters
+                    )
+                    serving_row("_ar_s12t", qstates_tm, extras_tm, jnp.float32)
 
     return rows
 
@@ -420,6 +467,11 @@ def main():
                     help="add random-feature KID proxy vs the FP32 samples")
     ap.add_argument("--stage2_epochs", type=int, default=1,
                     help=">1 adds a multi-epoch stage-2 row")
+    ap.add_argument("--adaround", action="store_true",
+                    help="add bias-correction / AdaRound serving rows")
+    ap.add_argument("--adaround_iters", type=int, default=600)
+    ap.add_argument("--stage2_teacher", action="store_true",
+                    help="add teacher-matched stage-2 rows (_s12t)")
     args = ap.parse_args()
 
     cfg = UNetConfig()
@@ -437,6 +489,8 @@ def main():
         stage2=not args.no_stage2, serving=not args.no_serving,
         stage0=args.stage0, attribution=args.attribution, kid=args.kid,
         stage2_epochs=args.stage2_epochs,
+        adaround=args.adaround, adaround_iters=args.adaround_iters,
+        stage2_teacher=args.stage2_teacher,
     )
     print(f"weights: {weights}; DDIM-{args.steps} ({args.skip_type}), batch {args.batch}")
     print(format_table(rows))

@@ -88,6 +88,27 @@ def parse_args_and_config():
     parser.add_argument("--step_chunk", type=int, default=None,
                         help="serving only: fold per-step int8 weights k steps at a "
                              "time to bound HBM (big models / long schedules)")
+    parser.add_argument("--superbatch", type=int, default=None,
+                        help="serving+step_chunk only: generate this many images per "
+                             "sampler pass, advanced micro-batch-wise through each "
+                             "weight-fold chunk (amortizes fold work on 50k runs)")
+    parser.add_argument("--weight_opt", type=str, default="adaround",
+                        choices=["off", "biascorr", "adaround"],
+                        help="serving weight-quality pass: AdaRound rounding "
+                             "optimization + bias correction (default), bias "
+                             "correction only, or plain round-to-nearest")
+    parser.add_argument("--adaround_iters", type=int, default=1000,
+                        help="AdaRound optimizer iterations per layer")
+    parser.add_argument("--stage2_mode", type=str, default="reference",
+                        choices=["reference", "teacher"],
+                        help="stage-2 objective: the reference's fresh-noise MSE + "
+                             "entropy, or teacher-matched eps distillation on the "
+                             "FP32 trajectory (measured to actually help)")
+    parser.add_argument("--stage2_lr", type=float, default=0.02,
+                        help="teacher-matched stage-2 learning rate")
+    parser.add_argument("--calib_cache", type=str, default=None,
+                        help="path (or 'auto' = <log_path>/calib_cache.npz) to "
+                             "persist/reuse calibration state across runs")
 
     args = parser.parse_args()
     args.log_path = os.path.join(args.exp, "logs", args.doc)

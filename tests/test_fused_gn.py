@@ -188,3 +188,57 @@ def test_fused_attention_block_matches_composed():
     want = x + out
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_epilogue_blocked_matches_reference_large_hw():
+    """Spatially-blocked two-pass epilogue (256x256-class shapes) must match
+    the jnp oracle bit for bit on the int8 output (VERDICT r2 item 6)."""
+    from attentiondm_tpu.ops.fused_gn import (
+        epilogue_gn_swish_quant_blocked,
+        epilogue_gn_swish_quant_reference,
+    )
+
+    B, H, W, N = 1, 64, 64, 128  # HW*N*5 = 2.6 MB scaled-down stand-in
+    key = jax.random.PRNGKey(11)
+    dot = jax.random.randint(key, (B, H, W, N), -(2**20), 2**20, dtype=jnp.int32)
+    inv_ws = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (N,))) * 1e-5 + 1e-6
+    zcbias = jax.random.normal(jax.random.fold_in(key, 2), (N,))
+    temb = jax.random.normal(jax.random.fold_in(key, 3), (B, N))
+    gn_s = jnp.abs(jax.random.normal(jax.random.fold_in(key, 4), (N,))) + 0.5
+    gn_b = jax.random.normal(jax.random.fold_in(key, 5), (N,)) * 0.1
+    a_s = jnp.abs(jax.random.normal(jax.random.fold_in(key, 6), (N,))) * 20 + 5
+    a_z = jnp.round(jax.random.normal(jax.random.fold_in(key, 7), (N,)) * 3)
+
+    want = epilogue_gn_swish_quant_reference(
+        dot, inv_ws, zcbias, temb, gn_s, gn_b, a_s, a_z, 8
+    )
+    got = epilogue_gn_swish_quant_blocked(
+        dot, inv_ws, zcbias, temb, gn_s, gn_b, a_s, a_z, 8, interpret=True
+    )
+    diff = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+    assert diff.max() <= 1, diff.max()  # float-order ties only
+    assert (diff > 0).mean() < 1e-3
+
+
+def test_epilogue_dispatch_uses_blocked_for_large_shapes():
+    """The public epilogue entry point must route over-VMEM shapes to the
+    blocked kernel and still match the oracle."""
+    from attentiondm_tpu.ops.fused_gn import (
+        epilogue_gn_swish_quant,
+        epilogue_gn_swish_quant_reference,
+    )
+
+    B, H, W, N = 1, 128, 64, 128  # HW*N*5 = 5.2 MB > 4 MB budget
+    key = jax.random.PRNGKey(12)
+    dot = jax.random.randint(key, (B, H, W, N), -(2**20), 2**20, dtype=jnp.int32)
+    inv_ws = jnp.full((N,), 1e-5)
+    zcbias = jnp.zeros((N,))
+    temb = jax.random.normal(jax.random.fold_in(key, 3), (B, N))
+    gn_s = jnp.ones((N,))
+    gn_b = jnp.zeros((N,))
+    a_s = jnp.full((N,), 25.0)
+    a_z = jnp.zeros((N,))
+    want = epilogue_gn_swish_quant_reference(dot, inv_ws, zcbias, temb, gn_s, gn_b, a_s, a_z, 8)
+    got = epilogue_gn_swish_quant(dot, inv_ws, zcbias, temb, gn_s, gn_b, a_s, a_z, 8, interpret=True)
+    diff = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+    assert diff.max() <= 1

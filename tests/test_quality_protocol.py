@@ -103,3 +103,21 @@ def test_stage2_multi_epoch_moves_alphas_more():
             float(jnp.abs(qs2[n].alpha_logits - qs[n].alpha_logits).sum()) for n in qs
         )
     assert moved[3] > moved[1]
+
+
+def test_round3_rows_present_and_finite():
+    """AdaRound / bias-correction / teacher-matched rows (round 3) run end
+    to end on a tiny model and produce finite metrics."""
+    cfg = UNetConfig(**CFG)
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    rows = run_protocol(
+        params, cfg, steps=4, batch=2, calib_batch=2,
+        stage2=False, serving=True, bf16=False, bit_configs=((4, 8),),
+        adaround=True, adaround_iters=30, stage2_teacher=True,
+    )
+    for want in ("int8_w4a8", "int8_w4a8_bc", "int8_w4a8_ar",
+                 "int8_w4a8_ar_s12t", "w4a8_s12t"):
+        assert want in rows, sorted(rows)
+        assert np.isfinite(rows[want]["eps_rel_mse_mean"]), (want, rows[want])
+    # teacher-matched stage 2 must not make things worse on its own metric
+    assert rows["w4a8_s12t"]["eps_rel_mse_mean"] <= rows["w4a8_s1"]["eps_rel_mse_mean"] * 1.05
