@@ -255,6 +255,103 @@ def epilogue_gn_swish_quant(
 
 
 # ---------------------------------------------------------------------------
+# resblock exit -> next-entry boundary fusion (VERDICT r2 weak item 7)
+#
+# The serving resblock exit was: read dot2 int32 + read residual + write
+# residual'; the NEXT block's GroupNorm entry then read residual' TWICE more
+# (stats pass + normalize pass).  This kernel folds the next entry's stats
+# into the exit — dequant + residual add + per-(image, group) sum/sumsq in
+# one pass — so the consumer's entry needs only the normalize/quantize read.
+# One full-tensor HBM read per fused boundary disappears.
+# ---------------------------------------------------------------------------
+
+
+def _epi_res_stats_kernel(dot_ref, epi_ref, res_ref, oh_ref, out_ref, sums_ref):
+    h = dot_ref[:].astype(jnp.float32) * epi_ref[0:1, :] + epi_ref[1:2, :]
+    r = res_ref[:].astype(jnp.float32) + h  # [bb, HW, N]
+    out_ref[:] = r.astype(out_ref.dtype)
+    s_c = jnp.sum(r, axis=1)  # [bb, N]
+    s2_c = jnp.sum(r * r, axis=1)
+    sg = jnp.dot(s_c, oh_ref[:], preferred_element_type=jnp.float32)  # [bb, G]
+    s2g = jnp.dot(s2_c, oh_ref[:], preferred_element_type=jnp.float32)
+    sums_ref[:] = jnp.concatenate([sg[:, None, :], s2g[:, None, :]], axis=1)
+
+
+def epilogue_residual_gn_stats(
+    dot: jax.Array,  # [B, H, W, N] int32 conv2 accumulator (N == co, unpadded)
+    inv_ws: jax.Array,  # [N]
+    zcbias: jax.Array,  # [N]
+    x_res: jax.Array,  # [B, H, W, N] residual / shortcut branch (any float dtype)
+    *,
+    out_dtype=jnp.float32,
+    groups: int = 32,
+    interpret: bool | None = None,
+):
+    """Fused resblock exit: residual' = x_res + dequant(dot), plus the
+    per-(image, group) GN sums of residual' for the NEXT block's norm1.
+
+    Returns (residual' [B, H, W, N] out_dtype, sums [B, 2, G] f32).  Sums are
+    computed from the f32 residual before the out_dtype rounding — a
+    stats-level wobble far below quantization error (same argument as
+    `_gn_normalize`).  Callers fall back to the unfused exit when the
+    whole-image block exceeds VMEM."""
+    interpret = _auto_interpret(interpret)
+    orig_shape = dot.shape
+    B, N = dot.shape[0], dot.shape[-1]
+    HW = int(np.prod(dot.shape[1:-1]))
+    d3 = dot.reshape(B, HW, N)
+    r3 = x_res.reshape(B, HW, N)
+    onehot, g, cg = _group_onehots(N, groups)
+    epi = jnp.stack([inv_ws.astype(jnp.float32), zcbias.astype(jnp.float32)])
+
+    res_b = jnp.dtype(x_res.dtype).itemsize
+    out_b = jnp.dtype(out_dtype).itemsize
+    bb = _pick_block_b(HW * N * (4 + res_b + out_b + 4))
+    Bp = (B + bb - 1) // bb * bb
+    if Bp != B:
+        d3 = jnp.pad(d3, ((0, Bp - B), (0, 0), (0, 0)))
+        r3 = jnp.pad(r3, ((0, Bp - B), (0, 0), (0, 0)))
+
+    out, sums = pl.pallas_call(
+        _epi_res_stats_kernel,
+        grid=(Bp // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, HW, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, HW, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, HW, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 2, g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, HW, N), out_dtype),
+            jax.ShapeDtypeStruct((Bp, 2, g), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * HW * N * 8,
+            bytes_accessed=Bp * HW * N * (4 + res_b + out_b),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(d3, epi, r3, onehot)
+    return out[:B].reshape(orig_shape), sums[:B]
+
+
+def epilogue_residual_gn_stats_fits(HW: int, N: int, res_b: int = 4, out_b: int = 4) -> bool:
+    return HW * N * (4 + res_b + out_b + 4) * 1 <= 4 * 1024 * 1024 and N % 128 == 0 and HW % 8 == 0
+
+
+def gn_finalize_sums(sums: jax.Array, HW: int, cg: int, eps: float = 1e-6):
+    """[B, 2, G] sum/sumsq -> (mean [B, G], rstd [B, G])."""
+    inv_count = 1.0 / (HW * cg)
+    mean = sums[:, 0, :] * inv_count
+    var = jnp.maximum(sums[:, 1, :] * inv_count - mean * mean, 0.0)
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+# ---------------------------------------------------------------------------
 # spatially-blocked variant for 256x256-class shapes (VERDICT r2 weak item 6)
 #
 # Whole images no longer fit VMEM (HW=65536), so the epilogue runs as two

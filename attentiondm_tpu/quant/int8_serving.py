@@ -179,16 +179,28 @@ def _gn_apply(x, mean, rstd, gn_scale, gn_bias, num_groups=32):
     return (x - mean_c) * rstd_c * gn_scale + gn_bias
 
 
-def gn_act_quant_xla(x, gn_p, quant_params, *, act="swish", num_groups=32):
+def gn_act_quant_xla(x, gn_p, quant_params, *, act="swish", num_groups=32, sums=None):
     """GroupNorm -> act -> quantize, XLA two-pass (stats reduce + fused
     normalize/swish/quantize).  Multi-output: one int8 per (scale, zp, bit).
 
     Measured VPU-bound; XLA's codegen beats a hand Pallas kernel here, so no
     pallas_call (the Pallas variant lives in ops/fused_gn.gn_act_quant for
     comparison).
+
+    `sums` [B, 2, G] (from ops/fused_gn.epilogue_residual_gn_stats — the
+    previous resblock's fused exit) skips the stats reduce entirely: the
+    entry becomes ONE pass over x.
     """
     xf = x.astype(jnp.float32)
-    mean, rstd = _gn_stats(xf, num_groups)
+    if sums is None:
+        mean, rstd = _gn_stats(xf, num_groups)
+    else:
+        from ..ops.fused_gn import gn_finalize_sums
+
+        C = x.shape[-1]
+        g = min(num_groups, C)
+        HW = int(np.prod(x.shape[1:-1]))
+        mean, rstd = gn_finalize_sums(sums, HW, C // g)
     h = _gn_apply(xf, mean, rstd, gn_p["scale"].astype(jnp.float32),
                   gn_p["bias"].astype(jnp.float32), num_groups)
     if act == "swish":
@@ -310,11 +322,17 @@ def _conv_any(name, x, p, rt_i, qunet, qstates, step_idx, *, stride=1, padding="
     return conv2d(x, p, stride=stride, padding=padding)
 
 
-def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, res_dtype):
+def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, res_dtype,
+                    entry_sums=None, want_exit_stats=False):
     """norm1->swish->conv1->(+temb)->norm2->swish->conv2 (+shortcut), fused.
 
     Graph identical to models/unet.py::_resblock_apply (inference, no
     dropout); reference models/diffusion.py:82-136 intent without defect D7.
+
+    Boundary fusion (round 3): `entry_sums` are the previous fused exit's GN
+    sums over this block's input (skips the norm1 stats read);
+    `want_exit_stats=True` asks the exit to produce residual' AND the next
+    norm1's sums in one Pallas pass.  Returns (residual', exit_sums|None).
     """
     c1, c2 = rt_i.get(f"{name}.conv1"), rt_i.get(f"{name}.conv2")
     a1 = qunet.policy.get(f"{name}.conv1")
@@ -324,8 +342,11 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
     tproj = dense(swish(temb_act), p["temb_proj"]).astype(jnp.float32)  # [B, co1]
 
     hf = h_res.astype(jnp.float32)
-    if c1 is not None and c2 is not None and c1.zcbias.shape[-1] == co1:
-        (hq,) = gn_act_quant_xla(hf, p["norm1"], [(c1.act_scale, c1.act_zp, a1.a_bit)])
+    fused = c1 is not None and c2 is not None and c1.zcbias.shape[-1] == co1
+    dot2 = None
+    if fused:
+        (hq,) = gn_act_quant_xla(hf, p["norm1"], [(c1.act_scale, c1.act_zp, a1.a_bit)],
+                                 sums=entry_sums)
         dot1 = int8_conv3_qzero(hq, c1.act_zp, a1.a_bit, c1.gq)
         # fused Pallas epilogue: int32 -> (+temb) -> GN2 -> swish -> int8
         hq2 = epilogue_gn_swish_quant(
@@ -334,7 +355,7 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
             c2.act_scale, c2.act_zp, a2.a_bit,
         )
         dot2 = int8_conv3_qzero(hq2, c2.act_zp, a2.a_bit, c2.gq)
-        h = _epilogue(dot2, c2, co2)
+        h = None  # exit handled below (possibly fused with the residual add)
     else:
         # uncovered conv (shape-ineligible, e.g. C not a multiple of 128) —
         # unfused chain, each conv dispatched individually
@@ -367,7 +388,28 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
             x_sc = conv2d(hf, p[skey])
     else:
         x_sc = hf
-    return (x_sc + h).astype(res_dtype)
+
+    if fused:
+        from ..ops.fused_gn import (
+            epilogue_residual_gn_stats,
+            epilogue_residual_gn_stats_fits,
+        )
+
+        B = dot2.shape[0]
+        HW = int(np.prod(dot2.shape[1:-1]))
+        Np = dot2.shape[-1]
+        if (
+            want_exit_stats
+            and Np == co2  # unpadded fold: the kernel needs no column slice
+            and epilogue_residual_gn_stats_fits(HW, Np)
+        ):
+            res_out, sums = epilogue_residual_gn_stats(
+                dot2, c2.inv_ws, c2.zcbias, x_sc.astype(jnp.float32),
+                out_dtype=res_dtype,
+            )
+            return res_out, sums
+        h = _epilogue(dot2, c2, co2)
+    return (x_sc + h).astype(res_dtype), None
 
 
 def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_int8, ar_i=None):
@@ -543,17 +585,27 @@ def serving_unet_apply(
                          stride=stride, padding=padding)
 
     hs = [conv_site("conv_in", x.astype(jnp.float32)).astype(residual_dtype)]
+    # boundary fusion: `sums` carries the previous fused exit's GN statistics
+    # when (and only when) the next consumer is a resblock norm1 over exactly
+    # that tensor — attention, downsampling, and up-path concats reset it
+    sums = None
     for i_level in range(num_levels):
         lp = params["down"][i_level]
+        has_attn = bool(lp["attn"])
         for i_block in range(cfg.num_res_blocks):
-            h = _resblock_fused(
+            last_blk = i_block == cfg.num_res_blocks - 1
+            want = (not has_attn) and (not last_blk or i_level == num_levels - 1)
+            h, sums = _resblock_fused(
                 f"down.{i_level}.block.{i_block}", lp["block"][i_block], hs[-1],
                 temb, rt_i, qunet, qstates, step_idx, residual_dtype,
+                entry_sums=sums, want_exit_stats=want,
             )
             if lp["attn"]:
                 h = attn_site(f"down.{i_level}.attn.{i_block}", lp["attn"][i_block], h)
+                sums = None
             hs.append(h)
         if i_level != num_levels - 1:
+            sums = None
             nm = f"down.{i_level}.downsample"
             if cfg.resamp_with_conv:
                 lay = rt_i.get(f"{nm}.conv")
@@ -574,14 +626,16 @@ def serving_unet_apply(
             hs.append(hd.astype(residual_dtype))
 
     h = hs[-1]
-    h = _resblock_fused("mid.block_1", params["mid"]["block_1"], h, temb, rt_i, qunet, qstates, step_idx, residual_dtype)
+    h, _ = _resblock_fused("mid.block_1", params["mid"]["block_1"], h, temb, rt_i,
+                           qunet, qstates, step_idx, residual_dtype, entry_sums=sums)
     h = attn_site("mid.attn_1", params["mid"]["attn_1"], h)
-    h = _resblock_fused("mid.block_2", params["mid"]["block_2"], h, temb, rt_i, qunet, qstates, step_idx, residual_dtype)
+    h, _ = _resblock_fused("mid.block_2", params["mid"]["block_2"], h, temb, rt_i,
+                           qunet, qstates, step_idx, residual_dtype)
 
     for i_level in reversed(range(num_levels)):
         lp = params["up"][i_level]
         for i_block in range(cfg.num_res_blocks + 1):
-            h = _resblock_fused(
+            h, _ = _resblock_fused(
                 f"up.{i_level}.block.{i_block}", lp["block"][i_block],
                 jnp.concatenate([h, hs.pop()], axis=-1),
                 temb, rt_i, qunet, qstates, step_idx, residual_dtype,

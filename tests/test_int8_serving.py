@@ -271,3 +271,59 @@ def test_serving_enhanced_attn_variant():
     rel = float(jnp.abs(got - want).mean() / (jnp.abs(want).mean() + 1e-9))
     assert rel < 0.1, rel  # weight-fold quantization differs, like int8-vs-infer
     assert bool(jnp.isfinite(got).all())
+
+
+def test_exit_residual_stats_kernel_matches_manual():
+    """ops/fused_gn.epilogue_residual_gn_stats: residual' and GN sums must
+    match the unfused epilogue + jnp statistics (boundary fusion, round 3)."""
+    from attentiondm_tpu.ops.fused_gn import (
+        epilogue_residual_gn_stats,
+        gn_finalize_sums,
+    )
+
+    B, H, W, N = 2, 8, 8, 128
+    key = jax.random.PRNGKey(3)
+    dot = jax.random.randint(key, (B, H, W, N), -(2**18), 2**18, dtype=jnp.int32)
+    inv_ws = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (N,))) * 1e-4 + 1e-5
+    zcbias = jax.random.normal(jax.random.fold_in(key, 2), (N,))
+    res = jax.random.normal(jax.random.fold_in(key, 3), (B, H, W, N))
+
+    out, sums = epilogue_residual_gn_stats(dot, inv_ws, zcbias, res, interpret=True)
+    want = res + (dot.astype(jnp.float32) * inv_ws + zcbias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-4)
+
+    # sums reproduce GroupNorm statistics of residual'
+    mean, rstd = gn_finalize_sums(sums, H * W, N // 32)
+    wg = np.asarray(want, np.float64).reshape(B, H * W, 32, N // 32)
+    mean_ref = wg.mean(axis=(1, 3))
+    var_ref = wg.var(axis=(1, 3))
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(rstd), 1.0 / np.sqrt(var_ref + 1e-6), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_serving_boundary_fusion_matches_interception():
+    """A no-attention 2-block config engages the exit->entry boundary fusion
+    (want_exit_stats=True inside the level); the serving forward must stay
+    equivalent to the interception path."""
+    cfg = UNetConfig(
+        ch=128, ch_mult=(1,), num_res_blocks=2, attn_resolutions=(),
+        resolution=8, dropout=0.0,
+    )
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    qunet = QuantizedUNet.create(cfg, 8)
+    qstates = qunet.init_state(2)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 8, 8, 3))
+    seq = [0, 500]
+    from attentiondm_tpu.quant import calibrate_ranges as _cal
+
+    qstates = _cal(qunet, params, qstates, xs, seq, first=True)
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    x, t = xs[0], jnp.full((2,), 5.0)
+    want = int8_model_fn(qunet, prepare_int8_runtime(qunet, params, qstates), params, qstates)(
+        x, t, jnp.asarray(0)
+    )
+    got = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(x, t, jnp.asarray(0))
+    rel = float(jnp.abs(got - want).mean() / (jnp.abs(want).mean() + 1e-9))
+    assert rel < 0.02, rel
