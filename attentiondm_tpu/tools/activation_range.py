@@ -215,11 +215,83 @@ def plot_attention_heatmaps(report, timesteps, out_path):
     plt.close(fig)
 
 
+def cross_model_comparison(
+    model_reports: Dict[str, Dict[str, Dict[str, np.ndarray]]],
+    timesteps: Sequence[int],
+    out_dir: str,
+) -> dict:
+    """Compare attention ranges ACROSS models (working equivalent of the
+    reference's `cross_model_comparison`, self_attention_analysis.py:371-446,
+    which is dead-on-arrival there — its `load_models` imports phantom
+    modules, defect D10).
+
+    `model_reports` maps model name -> `collect_attention_ranges` output.
+    Produces (a) a bar chart of each model's mean attention-OUTPUT range
+    (max - min of the output-projection input, averaged over layers and
+    probe timesteps, std across layers — the reference's statistic), (b) the
+    per-timestep range pattern of each model's first attention layer, and a
+    JSON with both.  Returns the summary dict.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    summary: dict = {"avg_output_ranges": {}, "timestep_patterns": {}}
+    for model, rep in model_reports.items():
+        layer_means = []
+        first_pattern = None
+        for name in sorted(rep):
+            if not name.endswith(("proj_out", "output_conv")):
+                continue
+            rng = np.asarray(rep[name]["max"]) - np.asarray(rep[name]["min"])  # [T]
+            layer_means.append(float(rng.mean()))
+            if first_pattern is None:
+                first_pattern = rng.tolist()
+        if layer_means:
+            summary["avg_output_ranges"][model] = {
+                "mean": float(np.mean(layer_means)),
+                "std": float(np.std(layer_means)),
+            }
+            summary["timestep_patterns"][model] = first_pattern
+
+    plt = _plt()
+    if plt is not None and summary["avg_output_ranges"]:
+        models = list(summary["avg_output_ranges"])
+        means = [summary["avg_output_ranges"][m]["mean"] for m in models]
+        stds = [summary["avg_output_ranges"][m]["std"] for m in models]
+        fig, ax = plt.subplots(figsize=(10, 6))
+        xpos = np.arange(len(models))
+        ax.bar(xpos, means, yerr=stds, capsize=5)
+        ax.set_xticks(xpos)
+        ax.set_xticklabels(models)
+        ax.set_xlabel("Model")
+        ax.set_ylabel("Average Output Range (Max - Min)")
+        ax.set_title("Self-Attention Output Ranges Across Models")
+        ax.grid(True, axis="y", linestyle="--", alpha=0.7)
+        fig.savefig(os.path.join(out_dir, "model_comparison_output_ranges.png"), dpi=150)
+        plt.close(fig)
+
+        fig, ax = plt.subplots(figsize=(12, 8))
+        for m, pat in summary["timestep_patterns"].items():
+            if pat:
+                ax.plot(list(timesteps), pat, label=m)
+        ax.set_xlabel("Timestep")
+        ax.set_ylabel("Output Range (Max - Min)")
+        ax.set_title("Self-Attention Output Range Patterns Across Timesteps")
+        ax.grid(True, linestyle="--", alpha=0.7)
+        ax.legend()
+        fig.savefig(os.path.join(out_dir, "timestep_pattern_comparison.png"), dpi=150)
+        plt.close(fig)
+
+    save_range_report(summary, os.path.join(out_dir, "cross_model_comparison.json"))
+    return summary
+
+
 def main(argv=None):
     """CLI: analyze a model's activation/weight/attention ranges.
 
     python -m attentiondm_tpu.tools.activation_range --config cifar10.yml \
         [--ckpt path] [--out analysis_out] [--timesteps 0,250,500,750,999]
+
+    Cross-model mode: --compare cifar10.yml,celeba.yml[,...] analyzes each
+    config's attention ranges and emits the comparison plots + JSON.
     """
     import argparse
 
@@ -228,13 +300,34 @@ def main(argv=None):
     from ..models.torch_convert import load_torch_checkpoint
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", required=True)
+    ap.add_argument("--config", default=None, help="required unless --compare")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--out", default="analysis_out")
     ap.add_argument("--timesteps", default="0,250,500,750,999")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--enhanced", action="store_true", help="analyze the enhanced-attention variant")
+    ap.add_argument("--compare", default=None,
+                    help="comma-separated configs for cross-model attention comparison")
     args = ap.parse_args(argv)
+
+    if not args.compare and not args.config:
+        ap.error("--config is required unless --compare is given")
+    ts = [int(t) for t in args.timesteps.split(",")]
+    if args.compare:
+        reports = {}
+        for cfg_path in args.compare.split(","):
+            config = load_config(cfg_path)
+            cfg = UNetConfig.from_config(config)
+            params = unet_init(jax.random.PRNGKey(0), cfg)
+            x = jax.random.normal(
+                jax.random.PRNGKey(1),
+                (args.batch, cfg.resolution, cfg.resolution, cfg.in_channels),
+            )
+            name = os.path.splitext(os.path.basename(cfg_path))[0]
+            reports[name] = collect_attention_ranges(params, cfg, x, ts)
+        cross_model_comparison(reports, ts, args.out)
+        print(f"cross-model comparison written to {args.out}/")
+        return 0
 
     config = load_config(args.config)
     cfg = UNetConfig.from_config(config)

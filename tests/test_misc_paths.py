@@ -105,3 +105,31 @@ def test_schedule_from_config():
     s = DiffusionSchedule.from_config(cfg)
     assert s.num_timesteps == 1000
     assert bool(jnp.isfinite(s.logvar).all())
+
+
+def test_cross_model_comparison(tmp_path):
+    """Working equivalent of the reference's dead cross_model_comparison
+    (self_attention_analysis.py:371-446, defect D10)."""
+    import numpy as np
+
+    from attentiondm_tpu.tools.activation_range import cross_model_comparison
+
+    ts = [0, 500, 999]
+    reports = {
+        "cifar10": {
+            "mid.attn_1.proj_out": {"min": np.array([-1.0, -2.0, -3.0]),
+                                    "max": np.array([1.0, 2.0, 3.0])},
+            "mid.attn_1.q": {"min": np.zeros(3), "max": np.ones(3)},
+        },
+        "celeba": {
+            "mid.attn_1.proj_out": {"min": np.array([-2.0, -2.0, -2.0]),
+                                    "max": np.array([2.0, 2.0, 2.0])},
+        },
+    }
+    out = cross_model_comparison(reports, ts, str(tmp_path))
+    assert set(out["avg_output_ranges"]) == {"cifar10", "celeba"}
+    assert abs(out["avg_output_ranges"]["cifar10"]["mean"] - 4.0) < 1e-9
+    assert out["timestep_patterns"]["celeba"] == [4.0, 4.0, 4.0]
+    import os
+    assert os.path.exists(tmp_path / "cross_model_comparison.json")
+    assert os.path.exists(tmp_path / "model_comparison_output_ranges.png")
