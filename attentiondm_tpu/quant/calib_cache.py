@@ -48,6 +48,8 @@ def _meta_of(args, seq, model_sig=None) -> dict:
         "calib_t_mode": getattr(args, "calib_t_mode", "real"),
         "weight_opt": getattr(args, "weight_opt", "adaround"),
         "stage2_mode": getattr(args, "stage2_mode", "reference"),
+        # a cache without attention ranges must not serve an --attn_int8 run
+        "attn_int8": bool(getattr(args, "attn_int8", False)),
         "model": model_sig,
     }
 
