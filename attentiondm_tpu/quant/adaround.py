@@ -258,10 +258,15 @@ class WeightExtras:
                  zeros-shaped placeholder is never stored: absent layers are
                  simply missing from the dict and fall back to round().
     mu           [kh*kw*ci] mean im2col input row — bias-correction vector.
+    shrink       [co] the per-channel range shrink the offsets were optimized
+                 against; pinning it keeps the deployed fold on exactly the
+                 grid AdaRound saw (and lets the serving-matched stage 2 use
+                 the same grid differentiably).
     """
 
     round_offset: jax.Array | None
     mu: jax.Array | None
+    shrink: jax.Array | None = None
 
 
 def compute_weight_extras(
@@ -311,21 +316,24 @@ def compute_weight_extras(
 
         return jax.vmap(at)(jnp.arange(S)).mean(axis=0)
 
+    from ..ops.quant_conv import fold_shrink_search
+
     out: Dict[str, WeightExtras] = {}
     for name in names:
         pol = qunet.policy[name]
         scale = mean_scale(qstates[name], pol.a_bit)
+        shrink = fold_shrink_search(kernels[name], scale, pol.w_bit, symmetric)
         offs = None
         if pol.w_bit <= adaround_max_wbit:
             offs = adaround_offsets(
                 kernels[name], scale, stats[name], pol.w_bit,
-                symmetric=symmetric, iters=iters,
+                symmetric=symmetric, iters=iters, shrink=shrink,
             )
         mu = None
         if bias_correct and float(stats[name].count) > 0:
             mu = stats[name].mu / jnp.maximum(stats[name].count, 1.0)
         if offs is not None or mu is not None:
-            out[name] = WeightExtras(round_offset=offs, mu=mu)
+            out[name] = WeightExtras(round_offset=offs, mu=mu, shrink=shrink)
         if progress is not None:
             progress(name, offs is not None)
     return out

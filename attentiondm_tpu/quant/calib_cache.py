@@ -81,6 +81,8 @@ def save_calibration(
                 ).astype(np.uint8)
             if ex.mu is not None:
                 flat[f"extras/{name}/mu"] = np.asarray(jax.device_get(ex.mu))
+            if ex.shrink is not None:
+                flat[f"extras/{name}/shrink"] = np.asarray(jax.device_get(ex.shrink))
     if sample_count is not None:
         flat["misc/sample_count"] = np.asarray(jax.device_get(sample_count))
     if timestep_select is not None:
@@ -147,7 +149,7 @@ def load_calibration(path: str, args, seq, model_sig=None):
     out["attn_ranges"] = attn_ranges or None
     out["weight_extras"] = {
         n: WeightExtras(
-            round_offset=d.get("round_offset"), mu=d.get("mu")
+            round_offset=d.get("round_offset"), mu=d.get("mu"), shrink=d.get("shrink")
         )
         for n, d in extras.items()
     } or None

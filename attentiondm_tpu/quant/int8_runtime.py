@@ -53,7 +53,7 @@ import functools
 @functools.partial(jax.jit, static_argnames=("a_bit", "w_bit", "symmetric", "mse_search"))
 def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int,
                     symmetric: bool = True, mse_search: bool = True,
-                    round_offset=None, input_mu=None):
+                    round_offset=None, input_mu=None, shrink=None):
     """Fold + quantize one conv's weights for every sampler step.
 
     jit-cached by (kernel shape, S, bits) so the ~6 distinct conv shapes in a
@@ -86,7 +86,9 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int,
         return scale, zp
 
     S = alpha_logits.shape[0]
-    if mse_search:
+    if shrink is not None:
+        pass  # pinned shrink from WeightExtras: the grid AdaRound/stage-2 saw
+    elif mse_search:
         all_scales, _ = jax.vmap(ranges_at)(jnp.arange(S))  # [S, C]
         shrink = fold_shrink_search(kernel, all_scales.mean(axis=0), w_bit, symmetric)
     else:
@@ -143,6 +145,7 @@ def prepare_int8_runtime(
             symmetric, mse_search,
             round_offset=None if ex is None else ex.round_offset,
             input_mu=None if ex is None else ex.mu,
+            shrink=None if ex is None else ex.shrink,
         )
         runtime[name] = Int8Layer(gq=gq, ws=ws, wzp=wzp, zcorr=zc, act_scale=scale, act_zp=zp)
     return runtime

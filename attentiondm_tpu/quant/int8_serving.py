@@ -131,6 +131,7 @@ def prepare_serving_runtime(
             kernel, gr, al, pol.a_bit, pol.w_bit, symmetric,
             round_offset=None if ex is None else ex.round_offset,
             input_mu=None if ex is None else ex.mu,
+            shrink=None if ex is None else ex.shrink,
         )
         co = kernel.shape[3]
         Np = gq.shape[-1]

@@ -42,6 +42,25 @@ def _ste_round_bwd(_, g):
 ste_round.defvjp(_ste_round_fwd, _ste_round_bwd)
 
 
+@jax.custom_vjp
+def ste_floor(x):
+    """floor with straight-through gradient — the AdaRound fold's rounding
+    primitive (floor + learned offset), made differentiable for the
+    serving-matched stage-2 surrogate."""
+    return jnp.floor(x)
+
+
+def _ste_floor_fwd(x):
+    return jnp.floor(x), None
+
+
+def _ste_floor_bwd(_, g):
+    return (g,)
+
+
+ste_floor.defvjp(_ste_floor_fwd, _ste_floor_bwd)
+
+
 def asymmetric_quant_params(num_bits: int, sat_min, sat_max, integral_zero_point=True):
     """(scale, zero_point) for signed asymmetric quantization.
 

@@ -292,9 +292,31 @@ class Diffusion:
         else:
             qstates = calibrate_ranges(qunet, params, qstates, xs_inputs, seq, first=first)
         logging.info(f"stage-1 range calibration done in {time.time()-t0:.1f}s")
+        weight_opt = getattr(args, "weight_opt", "adaround")
+        if compute_extras and weight_opt != "off":
+            # weight pass runs BEFORE stage 2 so the teacher-matched
+            # objective can optimize through the serving fold (pinned
+            # shrinks + AdaRound offsets) — optimizing ranges on the
+            # fake-quant grid measurably hurts the deployed serving fold
+            from ..quant.adaround import compute_weight_extras
+
+            t0 = time.time()
+            self.weight_extras = compute_weight_extras(
+                qunet, params, qstates, xs_inputs, seq,
+                iters=int(getattr(args, "adaround_iters", 1000) or 1000),
+                adaround_max_wbit=0 if weight_opt == "biascorr" else 6,
+                bias_correct=True,
+            )
+            n_ar = sum(1 for e in self.weight_extras.values() if e.round_offset is not None)
+            logging.info(
+                f"weight pass ({weight_opt}) done in {time.time()-t0:.1f}s: "
+                f"{n_ar} layers AdaRounded, {len(self.weight_extras)} bias-corrected"
+            )
         if args.calibrate_attention and getattr(args, "stage2_mode", "reference") == "teacher":
             # teacher-matched stage 2 (round-3): optimize against the FP
-            # teacher's eps on its own trajectory — the protocol's metric
+            # teacher's eps on its own trajectory — the protocol's metric.
+            # With serving extras present, the loss forward is the serving
+            # surrogate (exact fold semantics); otherwise fake-quant params.
             from ..quant.calibrate import calibrate_teacher_matched
 
             t0 = time.time()
@@ -312,14 +334,17 @@ class Diffusion:
                 return eps
 
             eps_ref = teacher_eps(params, xs_inputs)
-            qparams, _ = qunet.prepare_params(params)
+            extras = getattr(self, "weight_extras", None)
+            fwd_params = params if extras else qunet.prepare_params(params)[0]
             qstates, losses = calibrate_teacher_matched(
-                qunet, qparams, qstates, xs_inputs, eps_ref, seq,
+                qunet, fwd_params, qstates, xs_inputs, eps_ref, seq,
                 lr=float(getattr(args, "stage2_lr", 0.02) or 0.02),
                 epochs=int(getattr(args, "calib_epochs", 1) or 1) * 4,
+                serving_extras=extras,
             )
             logging.info(
-                f"stage-2 (teacher-matched) done in {time.time()-t0:.1f}s "
+                f"stage-2 (teacher-matched{', serving-fold semantics' if extras else ''}) "
+                f"done in {time.time()-t0:.1f}s "
                 f"({len(losses)} optimizer steps; rel-eps first/last: "
                 f"{losses[0]:.4f} / {losses[-1]:.4f})"
             )
@@ -351,22 +376,6 @@ class Diffusion:
                 f"({len(losses)} optimizer steps; per-step loss at first/last "
                 f"timestep: {losses[0]:.1f} / {losses[-1]:.1f} — "
                 "not comparable across timesteps)"
-            )
-        weight_opt = getattr(args, "weight_opt", "adaround")
-        if compute_extras and weight_opt != "off":
-            from ..quant.adaround import compute_weight_extras
-
-            t0 = time.time()
-            self.weight_extras = compute_weight_extras(
-                qunet, params, qstates, xs_inputs, seq,
-                iters=int(getattr(args, "adaround_iters", 1000) or 1000),
-                adaround_max_wbit=0 if weight_opt == "biascorr" else 6,
-                bias_correct=True,
-            )
-            n_ar = sum(1 for e in self.weight_extras.values() if e.round_offset is not None)
-            logging.info(
-                f"weight pass ({weight_opt}) done in {time.time()-t0:.1f}s: "
-                f"{n_ar} layers AdaRounded, {len(self.weight_extras)} bias-corrected"
             )
         if cache_path:
             from ..quant.calib_cache import save_calibration

@@ -422,11 +422,18 @@ def run_protocol(
                 serving_row("_bc", qstates, extras_bc, jnp.float32)
                 serving_row("_ar", qstates, extras, jnp.float32)
                 serving_row("_ar_bf16res", qstates, extras, jnp.bfloat16)
-                if qstates_tm is not None:
-                    extras_tm = compute_weight_extras(
-                        qunet, params, qstates_tm, xs_cal, seq, iters=adaround_iters
+                if stage2_teacher:
+                    # serving-matched stage 2 ON TOP of AdaRound: ranges
+                    # optimized through the exact fold (pinned shrink + h).
+                    # (The fake-quant-grid combo was measured WORSE than
+                    # AdaRound alone — quality_r3 _ar_s12t 17.2 vs _ar 19.6.)
+                    from ..quant.calibrate import calibrate_teacher_matched as _ctm
+
+                    qstates_srv, _ = _ctm(
+                        qunet, params, qstates, xs_cal, eps_cal_ref, seq,
+                        lr=0.02, epochs=8, serving_extras=extras,
                     )
-                    serving_row("_ar_s12t", qstates_tm, extras_tm, jnp.float32)
+                    serving_row("_ar_s2srv", qstates_srv, extras, jnp.float32)
 
     return rows
 
