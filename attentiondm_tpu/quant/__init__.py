@@ -29,6 +29,7 @@ from .calibrate import (
     calibrate_ranges,
     calibrate_differentiable,
     calibrate_teacher_matched,
+    refine_weight_extras,
     select_calibration_images,
     alpha_uncertainty,
 )
@@ -49,6 +50,7 @@ from .state import (
 __all__ = [
     "QuantizedUNet",
     "calibrate_teacher_matched",
+    "refine_weight_extras",
     "WeightExtras",
     "compute_weight_extras",
     "load_calibration",

@@ -262,11 +262,18 @@ class WeightExtras:
                  against; pinning it keeps the deployed fold on exactly the
                  grid AdaRound saw (and lets the serving-matched stage 2 use
                  the same grid differentiably).
+    out_mult     [co] (or [S, co] per-step) multiplier on the decoded weight
+                 (trajectory-distilled fold refinement, refine_weight_extras);
+                 folds into the serving dequant scale — zero runtime cost.
+    bias_delta   [co] (or [S, co] per-step) additive bias refinement, same
+                 provenance; folds into the epilogue constant.
     """
 
     round_offset: jax.Array | None
     mu: jax.Array | None
     shrink: jax.Array | None = None
+    out_mult: jax.Array | None = None
+    bias_delta: jax.Array | None = None
 
 
 def compute_weight_extras(
@@ -281,11 +288,19 @@ def compute_weight_extras(
     max_steps: int = 8,
     adaround_max_wbit: int = 6,
     bias_correct: bool = True,
+    method: str = "adaround",
     progress=None,
 ) -> Dict[str, WeightExtras]:
     """Full pipeline: collect stats on the calibration trajectory, then run
-    AdaRound per serving-eligible layer (at w_bit <= adaround_max_wbit —
-    measured negligible at 8 bits) and package bias-correction means.
+    the rounding optimizer per serving-eligible layer (at w_bit <=
+    adaround_max_wbit — measured negligible at 8 bits) and package
+    bias-correction means.
+
+    `method` selects the rounding optimizer: "adaround" (per-weight up/down
+    decisions against the layer-output quadratic, quant/adaround.py) or
+    "gptq" (sequential error-compensated rounding through the
+    inverse-Hessian Cholesky, quant/gptq.py).  Both consume the same Gram
+    stats and emit fold-compatible round offsets.
 
     `qstates` provide the per-step activation scales; the fold-equivalent
     mean scale (same as _fold_all_steps' shrink search) anchors the grid.
@@ -325,10 +340,18 @@ def compute_weight_extras(
         shrink = fold_shrink_search(kernels[name], scale, pol.w_bit, symmetric)
         offs = None
         if pol.w_bit <= adaround_max_wbit:
-            offs = adaround_offsets(
-                kernels[name], scale, stats[name], pol.w_bit,
-                symmetric=symmetric, iters=iters, shrink=shrink,
-            )
+            if method == "gptq":
+                from .gptq import gptq_offsets
+
+                offs = gptq_offsets(
+                    kernels[name], scale, stats[name], pol.w_bit,
+                    symmetric=symmetric, shrink=shrink,
+                )
+            else:
+                offs = adaround_offsets(
+                    kernels[name], scale, stats[name], pol.w_bit,
+                    symmetric=symmetric, iters=iters, shrink=shrink,
+                )
         mu = None
         if bias_correct and float(stats[name].count) > 0:
             mu = stats[name].mu / jnp.maximum(stats[name].count, 1.0)

@@ -47,6 +47,7 @@ def _meta_of(args, seq, model_sig=None) -> dict:
         "calibrate_attention": bool(getattr(args, "calibrate_attention", False)),
         "calib_t_mode": getattr(args, "calib_t_mode", "real"),
         "weight_opt": getattr(args, "weight_opt", "adaround"),
+        "weight_refine": getattr(args, "weight_refine", "off") or "off",
         "stage2_mode": getattr(args, "stage2_mode", "reference"),
         # a cache without attention ranges must not serve an --attn_int8 run
         "attn_int8": bool(getattr(args, "attn_int8", False)),

@@ -429,8 +429,16 @@ def serving_surrogate_apply(
         else:
             gq = jnp.clip(ste_round(base), -nw, nw - 1)
         g_hat = (gq + wzp) / ws
+        if ex.out_mult is not None:
+            om = ex.out_mult if ex.out_mult.ndim == 1 else ex.out_mult[s]
+            g_hat = g_hat * om
         w_hat = g_hat * scale.reshape(1, 1, ci, 1)
-        out = conv2d(x_hat, {"kernel": w_hat, "bias": p["bias"]}, stride=stride, padding=padding)
+        if ex.bias_delta is None:
+            bias = p["bias"]
+        else:
+            bd = ex.bias_delta if ex.bias_delta.ndim == 1 else ex.bias_delta[s]
+            bias = p["bias"] + bd
+        out = conv2d(x_hat, {"kernel": w_hat, "bias": bias}, stride=stride, padding=padding)
         if ex.mu is not None:
             corr = ex.mu @ (g.reshape(kh * kw * ci, co) - g_hat.reshape(kh * kw * ci, co))
             out = out + corr
@@ -571,6 +579,212 @@ def calibrate_teacher_matched(
         )
         losses.extend(float(v) for v in np.asarray(ep_losses))
     return apply_theta(qstates, best_theta), losses
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: trajectory-distilled fold refinement (round-3 W4 quality lever)
+# ---------------------------------------------------------------------------
+
+
+def refine_weight_extras(
+    qunet: QuantizedUNet,
+    params,  # RAW params (the surrogate folds raw kernels)
+    qstates: Dict[str, ActQuantState],
+    extras,  # {name: WeightExtras} from compute_weight_extras
+    xs_in: jax.Array,  # [S, N, H, W, C] FP teacher trajectory model inputs
+    eps_ref: jax.Array,  # [S, N, H, W, C] FP teacher eps predictions
+    seq: Sequence[int],
+    *,
+    lr: float = 2e-3,
+    epochs: int = 8,
+    train_mult: bool = True,
+    train_bias: bool = True,
+    symmetric: bool = True,
+    per_step: bool = False,
+    inner: int = 24,
+    chunk: int | None = None,
+):
+    """Optimize the fold's FREE per-output-channel parameters — decoded-weight
+    multiplier `out_mult` and bias shift `bias_delta` (WeightExtras) — to
+    minimize the per-step relative eps error against the FP32 teacher on its
+    own trajectory, through the exact-fold surrogate.
+
+    Rationale: at W4 the per-step eps error is near the W8 level but the
+    free-run trajectory collapses (quality_r3: rel-MSE 0.0077 vs 0.0065 yet
+    19.6 vs 30.8 dB) — the residual weight error is *systematic*, so it
+    compounds over the sampler.  AdaRound minimizes each layer's local output
+    MSE; this stage re-aims the two knobs the serving fold can absorb for
+    free (they land in `inv_ws`/`zcbias`, zero runtime cost) at the network's
+    end-to-end objective.  Gradients for a layer's own mult/bias are exact
+    (they act after the int8 accumulator); cross-layer effects flow via STE.
+
+    Two modes:
+
+    - ``per_step=False``: one [co] correction per layer shared across sampler
+      steps, trained `epochs` passes over the trajectory (one Adam update per
+      step visit) with epoch-level best-iterate selection.
+    - ``per_step=True``: an independent [S, co] correction per layer — the
+      fold bakes per-step constants anyway, so the extra expressiveness is
+      runtime-free.  Steps are independent given the teacher trajectory, so
+      each step's slice is solved by its own `inner`-iteration Adam run;
+      steps are processed `chunk` at a time under vmap to batch the tiny
+      per-step forwards onto the MXU.  Best-iterate selection per chunk
+      guarantees the result is never worse than the init on the surrogate
+      objective.
+
+    Returns (extras', losses): per-epoch mean losses (entry 0 = init) in the
+    shared mode; [n_chunks, inner+1] per-chunk loss traces in per-step mode
+    (column 0 = init).
+    """
+    import dataclasses as _dc
+
+    t_rev = np.asarray(list(seq))[::-1].astype(np.float32)
+    S, n = xs_in.shape[0], xs_in.shape[1]
+    sel = [nm for nm, ex in extras.items() if ex.shrink is not None]
+    if not sel or not (train_mult or train_bias):
+        return extras, []
+
+    def _co(nm):
+        node = params
+        for p in nm.split("."):
+            node = node[int(p)] if isinstance(node, list) else node[p]
+        return node["kernel"].shape[3]
+
+    def _init_field(val, co, log: bool):
+        if val is None:
+            base = jnp.zeros((co,), jnp.float32)
+        else:
+            base = jnp.log(val.astype(jnp.float32)) if log else val.astype(jnp.float32)
+        if per_step:
+            base = jnp.broadcast_to(base, (S, co)) if base.ndim == 1 else base
+        return base
+
+    theta0 = {}
+    if train_mult:
+        theta0["logm"] = {nm: _init_field(extras[nm].out_mult, _co(nm), True) for nm in sel}
+    if train_bias:
+        theta0["bd"] = {nm: _init_field(extras[nm].bias_delta, _co(nm), False) for nm in sel}
+
+    def apply_theta(th):
+        """Build extras from theta (fields [co] in-lane / [S, co] final)."""
+        out = dict(extras)
+        for nm in sel:
+            ex = extras[nm]
+            m = jnp.exp(th["logm"][nm]) if "logm" in th else ex.out_mult
+            bd = th["bd"][nm] if "bd" in th else ex.bias_delta
+            out[nm] = _dc.replace(ex, out_mult=m, bias_delta=bd)
+        return out
+
+    def step_loss(p, th, s, t_i, x_s, e_s):
+        ex2 = apply_theta(th)
+        t_vec = jnp.full((n,), t_i, jnp.float32)
+        et = serving_surrogate_apply(qunet, p, qstates, ex2, x_s, t_vec, s,
+                                     symmetric=symmetric)
+        return jnp.mean(jnp.square(et - e_s)) / jnp.mean(jnp.square(e_s))
+
+    opt = optax.adam(lr)
+
+    if per_step:
+        if chunk is None:
+            chunk = next(m for m in (8, 5, 4, 2, 1) if S % m == 0)
+        assert S % chunk == 0, (S, chunk)
+        nch = S // chunk
+
+        def chunk_loss(p, th_c, s_c, t_c, x_c, e_c):
+            # th_c fields are [chunk, co]; vmap maps them to [co] lanes, so
+            # step_loss sees 1-D extras exactly as the deployed fold will
+            # (after restacking) at that step.
+            per_lane = jax.vmap(step_loss, in_axes=(None, 0, 0, 0, 0, 0))(
+                p, th_c, s_c, t_c, x_c, e_c
+            )
+            return per_lane.mean()
+
+        @jax.jit
+        def solve_all(p, theta, xs_, eref_):
+            def body(_, inp):
+                th_c, s_c, t_c, x_c, e_c = inp
+
+                def it(i, carry):
+                    th, st, best_l, best_th, trace = carry
+                    l, g = jax.value_and_grad(chunk_loss, argnums=1)(p, th, s_c, t_c, x_c, e_c)
+                    better = l < best_l
+                    best_l = jnp.where(better, l, best_l)
+                    best_th = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(better, a, b), th, best_th
+                    )
+                    upd, st = opt.update(g, st)
+                    th = optax.apply_updates(th, upd)
+                    return th, st, best_l, best_th, trace.at[i].set(l)
+
+                trace0 = jnp.zeros((inner + 1,), jnp.float32)
+                th, st, best_l, best_th, trace = jax.lax.fori_loop(
+                    0, inner, it,
+                    (th_c, opt.init(th_c), jnp.float32(jnp.inf), th_c, trace0),
+                )
+                # final iterate: evaluate and keep if best
+                l_f = chunk_loss(p, th, s_c, t_c, x_c, e_c)
+                better = l_f < best_l
+                best_th = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(better, a, b), th, best_th
+                )
+                return None, (best_th, trace.at[inner].set(l_f))
+
+            s_grid = jnp.arange(S).reshape(nch, chunk)
+            t_grid = jnp.asarray(t_rev).reshape(nch, chunk)
+            x_grid = xs_.reshape(nch, chunk, *xs_.shape[1:])
+            e_grid = eref_.reshape(nch, chunk, *eref_.shape[1:])
+            th_grid = jax.tree_util.tree_map(
+                lambda a: a.reshape(nch, chunk, *a.shape[1:]), theta
+            )
+            _, (th_best, traces) = jax.lax.scan(
+                body, None, (th_grid, s_grid, t_grid, x_grid, e_grid)
+            )
+            th_final = jax.tree_util.tree_map(
+                lambda a: a.reshape(S, *a.shape[2:]), th_best
+            )
+            return th_final, traces
+
+        theta, traces = solve_all(params, theta0, xs_in, eps_ref)
+        return apply_theta(theta), np.asarray(traces)
+
+    @jax.jit
+    def run_epoch(p, theta, opt_state, xs_, eref_):
+        def body(carry, inp):
+            theta, opt_state = carry
+            s, t_i, x_s, e_s = inp
+            loss, grads = jax.value_and_grad(step_loss, argnums=1)(p, theta, s, t_i, x_s, e_s)
+            upd, opt_state = opt.update(grads, opt_state)
+            theta = optax.apply_updates(theta, upd)
+            return (theta, opt_state), loss
+
+        (theta, opt_state), losses = jax.lax.scan(
+            body, (theta, opt_state),
+            (jnp.arange(S), jnp.asarray(t_rev), xs_, eref_),
+        )
+        return theta, opt_state, losses
+
+    @jax.jit
+    def eval_epoch(p, theta, xs_, eref_):
+        def body(_, inp):
+            s, t_i, x_s, e_s = inp
+            return None, step_loss(p, theta, s, t_i, x_s, e_s)
+
+        _, losses = jax.lax.scan(
+            body, None, (jnp.arange(S), jnp.asarray(t_rev), xs_, eref_)
+        )
+        return losses.mean()
+
+    best_theta = theta0
+    best_loss = float(eval_epoch(params, theta0, xs_in, eps_ref))
+    losses = [best_loss]
+    theta, opt_state = theta0, opt.init(theta0)
+    for _ep in range(epochs):
+        theta, opt_state, _ = run_epoch(params, theta, opt_state, xs_in, eps_ref)
+        l_ep = float(eval_epoch(params, theta, xs_in, eps_ref))
+        losses.append(l_ep)
+        if l_ep < best_loss:
+            best_loss, best_theta = l_ep, theta
+    return apply_theta(best_theta), losses
 
 
 # ---------------------------------------------------------------------------

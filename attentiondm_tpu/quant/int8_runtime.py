@@ -53,7 +53,8 @@ import functools
 @functools.partial(jax.jit, static_argnames=("a_bit", "w_bit", "symmetric", "mse_search"))
 def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int,
                     symmetric: bool = True, mse_search: bool = True,
-                    round_offset=None, input_mu=None, shrink=None):
+                    round_offset=None, input_mu=None, shrink=None,
+                    out_mult=None, bias_delta=None):
     """Fold + quantize one conv's weights for every sampler step.
 
     jit-cached by (kernel shape, S, bits) so the ~6 distinct conv shapes in a
@@ -70,7 +71,14 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int,
     round-to-nearest (quant/adaround.py), shared across steps like shrink.
     `input_mu` [kh*kw*C]: mean im2col input row; when given, each step's
     epilogue constant absorbs the bias correction mu^T (g - g_hat) that
-    cancels the systematic weight-quantization output shift."""
+    cancels the systematic weight-quantization output shift.
+
+    `out_mult` [co] or [S, co] / `bias_delta` [co] or [S, co]:
+    trajectory-distilled fold refinement (quant/calibrate.refine_weight_extras)
+    — the decoded weight scales by out_mult per output channel (ws /= m, so
+    the int8 grid is untouched) and the epilogue constant shifts by
+    bias_delta; 2-D variants carry an independent correction per sampler
+    step (the fold is per-step anyway, so this is runtime-free)."""
     kh = kernel.shape[0]
     C = kernel.shape[2]
     co = kernel.shape[3]
@@ -100,6 +108,12 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int,
             kernel, scale, w_bit, symmetric=symmetric, shrink=shrink,
             round_offset=round_offset,
         )
+        if out_mult is not None:
+            om = out_mult if out_mult.ndim == 1 else out_mult[s]
+            mpad = jnp.pad(om.astype(ws.dtype), (0, ws.shape[0] - co),
+                           constant_values=1.0)
+            ws = ws / mpad
+            g_hat = g_hat * mpad[None, :]
         zc = zcorr_from_fold(g_hat, zp, kh, C)
         if input_mu is not None:
             # bias correction: + mu^T (g - g_hat) on the unpadded rows
@@ -108,6 +122,9 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int,
             gh = g_hat.reshape(kh * kh, Cp, -1)[:, :C, :co].reshape(kh * kh * C, co)
             corr = input_mu @ (g - gh)  # [co]
             zc = zc.at[:co].add(corr)
+        if bias_delta is not None:
+            bd = bias_delta if bias_delta.ndim == 1 else bias_delta[s]
+            zc = zc.at[:co].add(bd.astype(zc.dtype))
         return gq, ws, wzp, zc, scale, zp
 
     return jax.lax.map(per_step, jnp.arange(S))
@@ -146,6 +163,8 @@ def prepare_int8_runtime(
             round_offset=None if ex is None else ex.round_offset,
             input_mu=None if ex is None else ex.mu,
             shrink=None if ex is None else ex.shrink,
+            out_mult=None if ex is None else ex.out_mult,
+            bias_delta=None if ex is None else ex.bias_delta,
         )
         runtime[name] = Int8Layer(gq=gq, ws=ws, wzp=wzp, zcorr=zc, act_scale=scale, act_zp=zp)
     return runtime

@@ -132,6 +132,8 @@ def prepare_serving_runtime(
             round_offset=None if ex is None else ex.round_offset,
             input_mu=None if ex is None else ex.mu,
             shrink=None if ex is None else ex.shrink,
+            out_mult=None if ex is None else ex.out_mult,
+            bias_delta=None if ex is None else ex.bias_delta,
         )
         co = kernel.shape[3]
         Np = gq.shape[-1]

@@ -70,3 +70,114 @@ def test_serving_matched_stage2_improves_deployed_eps():
     # first); the deployed serving error tracks it up to the <2% surrogate
     # mismatch.  Strict improvement on trained weights is the protocol's job.
     assert e1 <= e0 * 1.02, (e1, e0)
+
+
+def test_out_mult_bias_delta_fold_equivalence():
+    """out_mult/bias_delta must act identically in the serving fold and the
+    surrogate: out_mult scales the decoded weight per output channel (int8
+    grid untouched), bias_delta shifts the epilogue constant."""
+    import dataclasses
+
+    cfg, params, qunet, qstates, xs, seq, extras = _setup()
+    key = jax.random.PRNGKey(7)
+    mod = {}
+    for nm, ex in extras.items():
+        if ex.shrink is None:
+            continue
+        k1, k2, key = jax.random.split(key, 3)
+        co = ex.shrink.shape[0]
+        mod[nm] = dataclasses.replace(
+            ex,
+            out_mult=jnp.exp(0.05 * jax.random.normal(k1, (co,))),
+            bias_delta=0.05 * jax.random.normal(k2, (co,)),
+        )
+    extras2 = {**extras, **mod}
+    assert mod, "no eligible layers got refinement fields"
+
+    x, t = xs[0], jnp.full((2,), 5.0)
+    rt2 = prepare_serving_runtime(qunet, params, qstates, weight_extras=extras2)
+    srv2 = serving_model_fn(qunet, rt2, params, qstates, attn_int8=False)(x, t, jnp.asarray(0))
+    sur2 = serving_surrogate_apply(qunet, params, qstates, extras2, x, t, jnp.asarray(0))
+    rel = float(jnp.abs(sur2 - srv2).mean() / (jnp.abs(srv2).mean() + 1e-9))
+    assert rel < 0.02, rel
+
+    # and they must actually change the output vs the unmodified extras
+    rt1 = prepare_serving_runtime(qunet, params, qstates, weight_extras=extras)
+    srv1 = serving_model_fn(qunet, rt1, params, qstates, attn_int8=False)(x, t, jnp.asarray(0))
+    assert float(jnp.abs(srv2 - srv1).max()) > 1e-4
+
+
+def test_refine_weight_extras_improves_surrogate_eps():
+    from attentiondm_tpu.quant.calibrate import refine_weight_extras
+
+    cfg, params, qunet, qstates, xs, seq, extras = _setup()
+    t_rev = np.asarray(list(seq))[::-1].astype(np.float32)
+    eps_ref = jnp.stack(
+        [unet_apply(params, cfg, xs[i], jnp.full((2,), t_rev[i])) for i in range(len(seq))]
+    )
+    extras2, losses = refine_weight_extras(
+        qunet, params, qstates, extras, xs, eps_ref, seq, lr=5e-3, epochs=4,
+    )
+    assert len(losses) == 5 and all(np.isfinite(losses))
+    # epoch-level best-iterate selection: never worse than the init on the
+    # surrogate objective
+    best = min(losses)
+    assert best <= losses[0] + 1e-12
+    # the refined extras must carry the new fields on every eligible layer
+    assert any(ex.out_mult is not None for ex in extras2.values())
+
+    # deployed serving check: the refined fold evaluates finite and close to
+    # the surrogate's account of it
+    rt = prepare_serving_runtime(qunet, params, qstates, weight_extras=extras2)
+    fn = serving_model_fn(qunet, rt, params, qstates, attn_int8=False)
+    errs0, errs1 = [], []
+    rt0 = prepare_serving_runtime(qunet, params, qstates, weight_extras=extras)
+    fn0 = serving_model_fn(qunet, rt0, params, qstates, attn_int8=False)
+    for i in range(len(seq)):
+        t_vec = jnp.full((2,), t_rev[i])
+        e1 = fn(xs[i], t_vec, jnp.asarray(i))
+        e0 = fn0(xs[i], t_vec, jnp.asarray(i))
+        den = float(jnp.mean(jnp.square(eps_ref[i])))
+        errs1.append(float(jnp.mean(jnp.square(e1 - eps_ref[i]))) / den)
+        errs0.append(float(jnp.mean(jnp.square(e0 - eps_ref[i]))) / den)
+    assert np.isfinite(np.mean(errs1))
+    # deployed error tracks the surrogate objective up to the surrogate
+    # mismatch margin
+    assert np.mean(errs1) <= np.mean(errs0) * 1.05, (np.mean(errs1), np.mean(errs0))
+
+
+def test_refine_per_step_improves_and_deploys():
+    """Per-step mode: [S, co] corrections, solved chunk-at-a-time; the
+    refined extras must (a) never be worse than the init on the surrogate
+    objective per chunk, (b) fold into the serving runtime (2-D fields
+    indexed per step) with the surrogate still tracking it."""
+    from attentiondm_tpu.quant.calibrate import refine_weight_extras
+
+    cfg, params, qunet, qstates, xs, seq, extras = _setup()
+    t_rev = np.asarray(list(seq))[::-1].astype(np.float32)
+    eps_ref = jnp.stack(
+        [unet_apply(params, cfg, xs[i], jnp.full((2,), t_rev[i])) for i in range(len(seq))]
+    )
+    extras2, traces = refine_weight_extras(
+        qunet, params, qstates, extras, xs, eps_ref, seq,
+        lr=5e-3, per_step=True, inner=6, chunk=2,
+    )
+    assert traces.shape == (1, 7) and np.all(np.isfinite(traces))
+    ex = next(e for e in extras2.values() if e.out_mult is not None)
+    S = len(seq)
+    assert ex.out_mult.ndim == 2 and ex.out_mult.shape[0] == S
+    assert ex.bias_delta.ndim == 2 and ex.bias_delta.shape[0] == S
+
+    # deployed fold accepts the 2-D fields and the per-step surrogate
+    # tracks it at each step
+    rt = prepare_serving_runtime(qunet, params, qstates, weight_extras=extras2)
+    fn = serving_model_fn(qunet, rt, params, qstates, attn_int8=False)
+    for i in range(S):
+        t_vec = jnp.full((2,), t_rev[i])
+        srv = fn(xs[i], t_vec, jnp.asarray(i))
+        sur = serving_surrogate_apply(qunet, params, qstates, extras2, xs[i], t_vec, jnp.asarray(i))
+        rel = float(jnp.abs(sur - srv).mean() / (jnp.abs(srv).mean() + 1e-9))
+        assert rel < 0.02, (i, rel)
+
+    # per-step corrections differ across steps (the point of the mode)
+    assert float(jnp.abs(ex.out_mult[0] - ex.out_mult[1]).max()) > 1e-6
