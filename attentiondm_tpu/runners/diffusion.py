@@ -306,11 +306,12 @@ class Diffusion:
                 iters=int(getattr(args, "adaround_iters", 1000) or 1000),
                 adaround_max_wbit=0 if weight_opt == "biascorr" else 6,
                 bias_correct=True,
+                method="gptq" if weight_opt == "gptq" else "adaround",
             )
             n_ar = sum(1 for e in self.weight_extras.values() if e.round_offset is not None)
             logging.info(
                 f"weight pass ({weight_opt}) done in {time.time()-t0:.1f}s: "
-                f"{n_ar} layers AdaRounded, {len(self.weight_extras)} bias-corrected"
+                f"{n_ar} layers round-optimized, {len(self.weight_extras)} bias-corrected"
             )
         if args.calibrate_attention and getattr(args, "stage2_mode", "reference") == "teacher":
             # teacher-matched stage 2 (round-3): optimize against the FP
@@ -334,6 +335,7 @@ class Diffusion:
                 return eps
 
             eps_ref = teacher_eps(params, xs_inputs)
+            self._teacher_eps = eps_ref
             extras = getattr(self, "weight_extras", None)
             fwd_params = params if extras else qunet.prepare_params(params)[0]
             qstates, losses = calibrate_teacher_matched(
@@ -376,6 +378,38 @@ class Diffusion:
                 f"({len(losses)} optimizer steps; per-step loss at first/last "
                 f"timestep: {losses[0]:.1f} / {losses[-1]:.1f} — "
                 "not comparable across timesteps)"
+            )
+        refine_mode = getattr(args, "weight_refine", "off") or "off"
+        if refine_mode != "off" and self.weight_extras:
+            # trajectory-distilled fold refinement: re-aim the fold's free
+            # per-output-channel out_mult/bias_delta at the end-to-end eps
+            # error on the FP32 teacher's trajectory (runtime-free — the
+            # corrections land in the per-step fold constants)
+            from ..quant.calibrate import refine_weight_extras
+
+            t0 = time.time()
+            eps_ref = getattr(self, "_teacher_eps", None)
+            if eps_ref is None:
+                t_rev = np.asarray(list(seq))[::-1].astype(np.float32)
+                ucfg = self.ucfg
+
+                @jax.jit
+                def teacher_eps_r(p, xs):
+                    def body(_, inp):
+                        x, t_i = inp
+                        t_vec = jnp.full((x.shape[0],), t_i, jnp.float32)
+                        return None, unet_apply(p, ucfg, x, t_vec)
+
+                    _, eps = jax.lax.scan(body, None, (xs, jnp.asarray(t_rev)))
+                    return eps
+
+                eps_ref = teacher_eps_r(params, xs_inputs)
+            self.weight_extras, _tr = refine_weight_extras(
+                qunet, params, qstates, self.weight_extras, xs_inputs, eps_ref,
+                seq, per_step=(refine_mode == "perstep"),
+            )
+            logging.info(
+                f"weight refinement ({refine_mode}) done in {time.time()-t0:.1f}s"
             )
         if cache_path:
             from ..quant.calib_cache import save_calibration

@@ -93,10 +93,18 @@ def parse_args_and_config():
                              "sampler pass, advanced micro-batch-wise through each "
                              "weight-fold chunk (amortizes fold work on 50k runs)")
     parser.add_argument("--weight_opt", type=str, default="adaround",
-                        choices=["off", "biascorr", "adaround"],
+                        choices=["off", "biascorr", "adaround", "gptq"],
                         help="serving weight-quality pass: AdaRound rounding "
-                             "optimization + bias correction (default), bias "
+                             "optimization + bias correction (default), GPTQ "
+                             "error-compensated rounding + bias correction, bias "
                              "correction only, or plain round-to-nearest")
+    parser.add_argument("--weight_refine", type=str, default="off",
+                        choices=["off", "shared", "perstep"],
+                        help="trajectory-distilled fold refinement after the weight "
+                             "pass: per-output-channel out_mult/bias_delta corrections "
+                             "optimized against the FP32 teacher's eps (shared across "
+                             "steps, or an independent per-step set — runtime-free "
+                             "either way, the fold bakes per-step constants)")
     parser.add_argument("--adaround_iters", type=int, default=1000,
                         help="AdaRound optimizer iterations per layer")
     parser.add_argument("--stage2_mode", type=str, default="reference",

@@ -1,0 +1,90 @@
+"""GPTQ error-compensated rounding (quant/gptq.py).
+
+Properties: identity-Hessian degenerates to round-to-nearest; correlated
+inputs give a lower output-space quadratic error than RTN; the integration
+path (compute_weight_extras(method="gptq") -> serving fold) deploys."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attentiondm_tpu.quant.gptq import _gptq_opt, gptq_offsets
+from attentiondm_tpu.quant.adaround import ConvStats
+
+
+def _grid(g, shrink, w_bit):
+    n = 2 ** (w_bit - 1)
+    am = jnp.maximum(jnp.abs(g).max(axis=0), 1e-8) * shrink
+    ws = (n - 1) / am
+    return ws, n
+
+
+def test_identity_hessian_is_rtn():
+    key = jax.random.PRNGKey(0)
+    g = jax.random.normal(key, (32, 8))
+    shrink = jnp.ones((8,))
+    gq = _gptq_opt(g, jnp.eye(32), shrink, w_bit=4, symmetric=True, act_order=False)
+    ws, n = _grid(g, shrink, 4)
+    rtn = jnp.clip(jnp.round(ws[None] * g), -n, n - 1)
+    assert float(jnp.abs(gq - rtn).max()) == 0.0
+
+
+def test_correlated_beats_rtn_in_output_space():
+    key = jax.random.PRNGKey(1)
+    K, co, m = 64, 16, 4096
+    # strongly correlated inputs: low-rank + noise
+    basis = jax.random.normal(key, (8, K))
+    coef = jax.random.normal(jax.random.PRNGKey(2), (m, 8))
+    x = coef @ basis + 0.1 * jax.random.normal(jax.random.PRNGKey(3), (m, K))
+    H = (x.T @ x) / m
+    g = jax.random.normal(jax.random.PRNGKey(4), (K, co))
+    shrink = jnp.ones((co,))
+    ws, n = _grid(g, shrink, 4)
+
+    gq = _gptq_opt(g, H, shrink, w_bit=4, symmetric=True)
+    rtn = jnp.clip(jnp.round(ws[None] * g), -n, n - 1)
+
+    def quad_err(q):
+        d = q / ws[None] - g
+        return float(jnp.sum(d * (H @ d)))
+
+    e_gptq, e_rtn = quad_err(gq), quad_err(rtn)
+    assert e_gptq < e_rtn * 0.9, (e_gptq, e_rtn)
+    # and the quantized values stay on the grid
+    assert float(jnp.abs(gq - jnp.round(gq)).max()) == 0.0
+    assert float(gq.max()) <= n - 1 and float(gq.min()) >= -n
+
+
+def test_gptq_offsets_integration():
+    """compute_weight_extras(method='gptq') offsets deploy through the
+    serving fold and reduce the true per-layer output error vs RTN."""
+    from attentiondm_tpu.models import UNetConfig, unet_init
+    from attentiondm_tpu.quant import QuantizedUNet, calibrate_ranges, compute_weight_extras
+    from attentiondm_tpu.quant.int8_serving import prepare_serving_runtime, serving_model_fn
+    from attentiondm_tpu.quant.calibrate import serving_surrogate_apply
+
+    cfg = UNetConfig(
+        ch=128, ch_mult=(1,), num_res_blocks=1, attn_resolutions=(8,),
+        resolution=8, dropout=0.0,
+    )
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    qunet = QuantizedUNet.create(cfg, 4, a_bitwidth=8)
+    steps = 2
+    xs = jax.random.normal(jax.random.PRNGKey(1), (steps, 2, 8, 8, 3))
+    seq = list(np.linspace(0, 900, steps).astype(int))
+    qstates = calibrate_ranges(qunet, params, qunet.init_state(steps), xs, seq, first=True)
+    extras = compute_weight_extras(
+        qunet, params, qstates, xs, seq, max_steps=2, method="gptq"
+    )
+    assert any(ex.round_offset is not None for ex in extras.values())
+    # offsets are integers, and at least one exceeds the {0,1} AdaRound range
+    offs = [ex.round_offset for ex in extras.values() if ex.round_offset is not None]
+    for o in offs:
+        assert float(jnp.abs(o - jnp.round(o)).max()) == 0.0
+
+    rt = prepare_serving_runtime(qunet, params, qstates, weight_extras=extras)
+    x, t = xs[0], jnp.full((2,), 5.0)
+    srv = serving_model_fn(qunet, rt, params, qstates, attn_int8=False)(x, t, jnp.asarray(0))
+    assert bool(jnp.isfinite(srv).all())
+    sur = serving_surrogate_apply(qunet, params, qstates, extras, x, t, jnp.asarray(0))
+    rel = float(jnp.abs(sur - srv).mean() / (jnp.abs(srv).mean() + 1e-9))
+    assert rel < 0.02, rel
