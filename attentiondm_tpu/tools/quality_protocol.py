@@ -422,6 +422,35 @@ def run_protocol(
                 serving_row("_bc", qstates, extras_bc, jnp.float32)
                 serving_row("_ar", qstates, extras, jnp.float32)
                 serving_row("_ar_bf16res", qstates, extras, jnp.bfloat16)
+
+                # trajectory-distilled per-step fold refinement — the W4
+                # closer: per-step out_mult/bias_delta remove the systematic
+                # per-step weight error that compounds over the free run
+                from ..quant.calibrate import refine_weight_extras
+
+                @jax.jit
+                def _cal_eps(p, xs):
+                    return _eps_scan(fp_fn_of(p), xs, t_rev)
+
+                eps_cal = _cal_eps(params, xs_cal)
+                extras_ps, _ = refine_weight_extras(
+                    qunet, params, qstates, extras, xs_cal, eps_cal, seq,
+                    per_step=True,
+                )
+                serving_row("_ar_refine", qstates, extras_ps, jnp.float32)
+                serving_row("_ar_refine_bf16res", qstates, extras_ps, jnp.bfloat16)
+
+                # GPTQ rounding ladder (error-compensated rounding), alone
+                # and with the same per-step refinement on top
+                extras_g = compute_weight_extras(
+                    qunet, params, qstates, xs_cal, seq, method="gptq"
+                )
+                serving_row("_gptq", qstates, extras_g, jnp.float32)
+                extras_gps, _ = refine_weight_extras(
+                    qunet, params, qstates, extras_g, xs_cal, eps_cal, seq,
+                    per_step=True,
+                )
+                serving_row("_gptq_refine", qstates, extras_gps, jnp.float32)
                 if stage2_teacher:
                     # serving-matched stage 2 ON TOP of AdaRound: ranges
                     # optimized through the exact fold (pinned shrink + h).
@@ -479,6 +508,8 @@ def main():
     ap.add_argument("--adaround_iters", type=int, default=600)
     ap.add_argument("--stage2_teacher", action="store_true",
                     help="add teacher-matched stage-2 rows (_s12t)")
+    ap.add_argument("--bits", type=str, default=None,
+                    help="restrict bit configs, e.g. '8:8,4:8' (default: 8:8, 6:6, 4:8)")
     args = ap.parse_args()
 
     cfg = UNetConfig()
@@ -490,6 +521,11 @@ def main():
         params = load_checkpoint(args.ckpt, params)  # raw EMA tree
         weights = f"trained ({args.ckpt})"
 
+    kw = {}
+    if args.bits:
+        kw["bit_configs"] = tuple(
+            tuple(int(b) for b in part.split(":")) for part in args.bits.split(",")
+        )
     rows = run_protocol(
         params, cfg, steps=args.steps, skip_type=args.skip_type,
         batch=args.batch, calib_batch=args.calib_batch,
@@ -497,7 +533,7 @@ def main():
         stage0=args.stage0, attribution=args.attribution, kid=args.kid,
         stage2_epochs=args.stage2_epochs,
         adaround=args.adaround, adaround_iters=args.adaround_iters,
-        stage2_teacher=args.stage2_teacher,
+        stage2_teacher=args.stage2_teacher, **kw,
     )
     print(f"weights: {weights}; DDIM-{args.steps} ({args.skip_type}), batch {args.batch}")
     print(format_table(rows))

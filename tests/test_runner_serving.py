@@ -137,3 +137,43 @@ def test_teacher_matched_stage2_runs_in_runner(tmp_path, caplog):
         Diffusion(args, config).sample()
     assert any("teacher-matched" in r.message for r in caplog.records)
     assert os.path.exists(os.path.join(args.image_folder, "grid.png"))
+
+
+def test_serving_weight_refine_perstep_and_gptq(tmp_path):
+    """--weight_refine perstep and --weight_opt gptq drive through
+    Diffusion.sample(): the refinement stage produces per-step [S, co]
+    fields that the serving fold consumes."""
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path, weight_opt="gptq", weight_refine="perstep")
+    runner = Diffusion(args, config)
+    runner.sample()
+    assert os.path.exists(os.path.join(args.image_folder, "grid.png"))
+    extras = runner.weight_extras
+    assert extras is not None
+    ex = next(e for e in extras.values() if e.out_mult is not None)
+    assert ex.out_mult.ndim == 2 and ex.out_mult.shape[0] == args.timesteps
+    # gptq produced integer offsets on at least one layer
+    assert any(e.round_offset is not None for e in extras.values())
+
+
+def test_calib_cache_keys_on_weight_refine(tmp_path):
+    """A cache saved without refinement must not serve a --weight_refine run."""
+    from attentiondm_tpu.quant.calib_cache import load_calibration
+
+    from attentiondm_tpu.diffusion import make_timestep_seq
+
+    config = tiny_config(tmp_path)
+    cache = os.path.join(str(tmp_path), "cc.npz")
+    args = make_args(tmp_path, calib_cache=cache, weight_refine="off")
+    Diffusion(args, config).sample()
+    assert os.path.exists(cache)
+    seq = make_timestep_seq(
+        config.diffusion.num_diffusion_timesteps, args.timesteps, args.skip_type
+    )
+    # same flags -> hit (guards against a vacuous miss from a wrong seq)
+    hit_args = make_args(tmp_path, calib_cache=cache, weight_refine="off")
+    sig = str(Diffusion(hit_args, config).ucfg)
+    assert load_calibration(cache, hit_args, seq, model_sig=sig) is not None
+    miss_args = make_args(tmp_path, calib_cache=cache, weight_refine="perstep")
+    # metadata mismatch -> miss (load_calibration keys on weight_refine)
+    assert load_calibration(cache, miss_args, seq, model_sig=sig) is None
