@@ -324,6 +324,12 @@ def test_serving_boundary_fusion_matches_interception():
     want = int8_model_fn(qunet, prepare_int8_runtime(qunet, params, qstates), params, qstates)(
         x, t, jnp.asarray(0)
     )
-    got = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(x, t, jnp.asarray(0))
+    got = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False,
+                           boundary_fusion=True)(x, t, jnp.asarray(0))
     rel = float(jnp.abs(got - want).mean() / (jnp.abs(want).mean() + 1e-9))
     assert rel < 0.02, rel
+    # default-off path (boundary fusion is opt-in: measured neutral on chip)
+    got_off = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(
+        x, t, jnp.asarray(0))
+    rel_off = float(jnp.abs(got_off - want).mean() / (jnp.abs(want).mean() + 1e-9))
+    assert rel_off < 0.02, rel_off
