@@ -20,15 +20,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: int | None = None, axes: Sequence[str] = ("data",)) -> Mesh:
-    """1-D (or reshaped N-D) mesh over the first `num_devices` devices."""
+def make_mesh(
+    num_devices: int | None = None,
+    axes: Sequence[str] = ("data",),
+    shape: Sequence[int] | None = None,
+) -> Mesh:
+    """1-D (or reshaped N-D) mesh over the first `num_devices` devices.
+
+    `shape` pins the per-axis split explicitly (e.g. (2, 4) for dp=2 x tp=4);
+    without it a 2-D mesh favors the data axis with model=2.
+    """
     devs = jax.devices()
     if num_devices is not None:
         if num_devices > len(devs):
             raise ValueError(f"requested {num_devices} devices, have {len(devs)}")
         devs = devs[:num_devices]
     n = len(devs)
-    if len(axes) == 1:
+    if shape is not None:
+        if len(shape) != len(axes) or int(np.prod(shape)) != n:
+            raise ValueError(f"mesh shape {shape} does not cover {n} devices / axes {axes}")
+        shape = tuple(shape)
+    elif len(axes) == 1:
         shape = (n,)
     elif len(axes) == 2:
         # favor the data axis; model axis gets the largest power-of-two
@@ -36,7 +48,7 @@ def make_mesh(num_devices: int | None = None, axes: Sequence[str] = ("data",)) -
         model = 2 if n % 2 == 0 and n > 1 else 1
         shape = (n // model, model)
     else:
-        raise ValueError("1-D or 2-D meshes only")
+        raise ValueError("1-D or 2-D meshes only (pass `shape` for more)")
     return Mesh(np.asarray(devs).reshape(shape), axes)
 
 

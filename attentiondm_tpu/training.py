@@ -108,17 +108,44 @@ def make_train_step(
     return train_step
 
 
-def make_sharded_train_step(mesh, cfg, betas, tx, **kw):
-    """The same step, jitted with DP shardings over `mesh`: params/opt state
-    replicated, batch sharded on the leading axis."""
+def make_sharded_train_step(mesh, cfg, betas, tx, *, param_specs=None, **kw):
+    """The same step, jitted over `mesh`.
+
+    param_specs=None: pure DP — params/opt state replicated, batch sharded on
+    the leading axis, XLA psums the grads.
+
+    param_specs=<PartitionSpec pytree> (see parallel/tp.py): dp x tp — params,
+    grads, Adam moments, and EMA all live sharded; XLA inserts the activation
+    psums (one per resblock, two per attention).  The new params/EMA are
+    pinned back to the spec so the layout cannot drift step-over-step."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     step = make_train_step(cfg, betas, tx, **kw)
     repl = NamedSharding(mesh, P())
     batch = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        step,
-        in_shardings=(repl, batch, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
+    if param_specs is None:
+        return jax.jit(
+            step,
+            in_shardings=(repl, batch, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    named = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), param_specs)
+
+    def tp_step(state, x0, key):
+        state, loss = step(state, x0, key)
+        params = jax.lax.with_sharding_constraint(state.params, named)
+        ema = (
+            jax.lax.with_sharding_constraint(state.ema, named)
+            if state.ema is not None
+            else None
+        )
+        return (
+            TrainState(params=params, opt_state=state.opt_state, ema=ema, step=state.step),
+            loss,
+        )
+
+    # in/out shardings inferred from the (already-sharded) arguments; the
+    # constraint above anchors propagation through the whole step
+    return jax.jit(tp_step, donate_argnums=(0,))

@@ -116,7 +116,8 @@ def test_round3_rows_present_and_finite():
         adaround=True, adaround_iters=30, stage2_teacher=True,
     )
     for want in ("int8_w4a8", "int8_w4a8_bc", "int8_w4a8_ar",
-                 "int8_w4a8_ar_s12t", "w4a8_s12t"):
+                 "int8_w4a8_ar_refine", "int8_w4a8_gptq",
+                 "int8_w4a8_gptq_refine", "int8_w4a8_ar_s2srv", "w4a8_s12t"):
         assert want in rows, sorted(rows)
         assert np.isfinite(rows[want]["eps_rel_mse_mean"]), (want, rows[want])
     # teacher-matched stage 2 must not make things worse on its own metric
