@@ -293,8 +293,15 @@ def int8_flash_attention_static(
     """
     interpret = _auto_interpret(interpret)
     B, L, C = qq.shape
+    # snap blocks down to divisors of L so any L % 256 == 0 map works (the
+    # dispatcher guarantees only 256-alignment: L=2304 with block_k=512
+    # would otherwise die on the assert below instead of streaming)
     block_q = min(block_q, L)
     block_k = min(block_k, L)
+    while L % block_q:
+        block_q //= 2
+    while L % block_k:
+        block_k //= 2
     assert L % block_q == 0 and L % block_k == 0 and C % 128 == 0, (L, C)
     oq = jnp.stack([out_scale.astype(jnp.float32), out_zp.astype(jnp.float32)])
     n_out = 2 ** (a_bit - 1)

@@ -148,14 +148,15 @@ def _conv3x3_int8_dot(xq_padded, wq, H, W, C, N, block_b=None, interpret=None):
 # ---------------------------------------------------------------------------
 
 
-from ..quant.state import WEIGHT_MSE_SHRINKS
-
-
 def fold_shrink_search(kernel: jax.Array, act_scale: jax.Array, w_bit: int, symmetric: bool):
     """Per-output-channel MSE-optimal range shrink for the folded kernel
     g = kernel / act_scale (same grid as quant/state.make_weight_quant_state).
     Searched once per layer — callers folding per-step pass the result as
     `shrink` so the per-step fold graph stays candidate-free."""
+    # deferred: quant.state pulls in the quant package __init__, whose
+    # calibrate import comes back to this module (cycle)
+    from ..quant.state import WEIGHT_MSE_SHRINKS
+
     kh, kw, ci, co = kernel.shape
     g = kernel / act_scale.reshape(1, 1, ci, 1)
     axes = (0, 1, 2)
@@ -163,20 +164,37 @@ def fold_shrink_search(kernel: jax.Array, act_scale: jax.Array, w_bit: int, symm
     ks = jnp.asarray(WEIGHT_MSE_SHRINKS, g.dtype)  # [K]
 
     def mse_of(k):
-        if symmetric:
-            am = jnp.maximum(jnp.abs(g).max(axis=axes), 1e-8) * k
-            ws_k = (n - 1) / am
-            wzp_k = jnp.zeros_like(ws_k)
-        else:
-            gmin = jnp.minimum(g.min(axis=axes), 0.0) * k
-            gmax = jnp.maximum(g.max(axis=axes), 1e-8) * k
-            ws_k = (2**w_bit - 1) / (gmax - gmin)
-            wzp_k = jnp.round(ws_k * gmin) + 2 ** (w_bit - 1)
+        ws_k, wzp_k = weight_grid(g, w_bit, symmetric, k)
         q = jnp.clip(jnp.round(ws_k * g - wzp_k), -n, n - 1)
         return jnp.square((q + wzp_k) / ws_k - g).sum(axis=axes)  # [co]
 
     errs = jax.vmap(mse_of)(ks)  # [K, co]
     return ks[jnp.argmin(errs, axis=0)]  # [co]
+
+
+def weight_grid(g, w_bit: int, symmetric: bool, shrink=1.0):
+    """Per-output-channel weight quantization grid (ws, wzp) for scale-folded
+    weights `g` (last axis = out channels; all other axes reduce).
+
+    THE single source of truth for the grid: the fold
+    (`fold_weights_int8`), the rounding optimizers (quant/adaround.py,
+    quant/gptq.py — whose offsets only mean anything on the exact grid the
+    fold recomputes per step), and the differentiable surrogate
+    (quant/calibrate.serving_surrogate_apply) all call this, so grid drift
+    between optimizer and deployment is structurally impossible.
+    """
+    axes = tuple(range(g.ndim - 1))
+    n = 2 ** (w_bit - 1)
+    if symmetric:
+        am = jnp.maximum(jnp.abs(g).max(axis=axes), 1e-8) * shrink
+        ws = (n - 1) / am
+        wzp = jnp.zeros_like(ws)
+    else:
+        g_min = jnp.minimum(g.min(axis=axes), 0.0) * shrink
+        g_max = jnp.maximum(g.max(axis=axes), 1e-8) * shrink
+        ws = (2**w_bit - 1) / (g_max - g_min)
+        wzp = jnp.round(ws * g_min) + n
+    return ws, wzp
 
 
 def fold_weights_int8(
@@ -214,7 +232,6 @@ def fold_weights_int8(
     """
     kh, kw, ci, co = kernel.shape
     g = kernel / act_scale.reshape(1, 1, ci, 1)
-    axes = (0, 1, 2)
     n = 2 ** (w_bit - 1)
 
     if shrink is None:
@@ -224,16 +241,7 @@ def fold_weights_int8(
             else 1.0
         )
 
-    if symmetric:
-        g_absmax = jnp.maximum(jnp.abs(g).max(axis=axes), 1e-8) * shrink
-        ws = (n - 1) / g_absmax  # [co]
-        wzp = jnp.zeros_like(ws)
-    else:
-        g_min = jnp.minimum(g.min(axis=axes), 0.0) * shrink
-        g_max = jnp.maximum(g.max(axis=axes), 1e-8) * shrink
-        n_lv = 2**w_bit - 1
-        ws = n_lv / (g_max - g_min)  # [co]
-        wzp = jnp.round(ws * g_min) + 2 ** (w_bit - 1)
+    ws, wzp = weight_grid(g, w_bit, symmetric, shrink)  # [co]
     if round_offset is None:
         gq = jnp.clip(jnp.round(ws * g - wzp), -n, n - 1)
     else:

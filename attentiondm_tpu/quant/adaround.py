@@ -41,6 +41,7 @@ import numpy as np
 import optax
 
 from ..models.unet import UNetConfig, conv2d, iter_conv_layers, unet_apply
+from ..ops.quant_conv import weight_grid
 
 # Layers whose im2col Gram exceeds this K are skipped (H is K^2 floats;
 # K = kh*kw*cin).  4800 covers every CIFAR-10 layer (max K = 9*512 = 4608);
@@ -170,15 +171,9 @@ def _adaround_opt(g, gram, shrink, *, w_bit: int, symmetric: bool, iters: int):
     Returns h_hard [K, N] in {0, 1} (float32).
     """
     n = 2 ** (w_bit - 1)
-    if symmetric:
-        am = jnp.maximum(jnp.abs(g).max(axis=0), 1e-8) * shrink
-        ws = (n - 1) / am
-        wzp = jnp.zeros_like(ws)
-    else:
-        gmin = jnp.minimum(g.min(axis=0), 0.0) * shrink
-        gmax = jnp.maximum(g.max(axis=0), 1e-8) * shrink
-        ws = (2**w_bit - 1) / (gmax - gmin)
-        wzp = jnp.round(ws * gmin) + n
+    # the one true grid (ops/quant_conv.weight_grid): {0,1} offsets emitted
+    # here are only meaningful on the exact grid the per-step fold recomputes
+    ws, wzp = weight_grid(g, w_bit, symmetric, shrink)
     base = ws[None, :] * g - wzp[None, :]
     fl = jnp.floor(base)
     r = jnp.clip(base - fl, 1e-4, 1.0 - 1e-4)

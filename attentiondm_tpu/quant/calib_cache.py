@@ -7,7 +7,8 @@ calibration produces into one self-describing .npz:
 
   - per-layer ActQuantState pytrees (the stage-1/2 output),
   - per-step attention q/k/v absmax ranges (the int8 QK^T static scales),
-  - per-layer WeightExtras (AdaRound offsets as uint8 + bias-correction mu),
+  - per-layer WeightExtras (signed rounding offsets, bias-correction mu,
+    pinned shrink, per-step out_mult/bias_delta refinements),
   - the 'diff' t-mode bookkeeping (sample_count, selected timestep),
   - a metadata header (seq, bit policy, attention variant) that must match
     the requesting run — a mismatched cache is ignored, not trusted.
@@ -31,7 +32,12 @@ import numpy as np
 from .state import ActQuantState
 
 _QFIELDS = ("init_range", "act_min", "act_max", "group_ranges", "alpha_logits")
-_FORMAT = 2  # bump when the on-disk layout changes
+_XFIELDS = ("round_offset", "mu", "shrink", "out_mult", "bias_delta")
+# 3: round_offset int16 (GPTQ offsets are SIGNED multi-level — uint8 wrapped
+#    negatives to 255 and pinned those weights to +max on reload) and the
+#    per-step refinement fields (out_mult/bias_delta) persist.  The bump
+#    invalidates format-2 caches, whose gptq offsets were silently corrupt.
+_FORMAT = 3
 
 
 def _meta_of(args, seq, model_sig=None) -> dict:
@@ -76,14 +82,15 @@ def save_calibration(
             flat[f"attn/{name}"] = np.asarray(jax.device_get(arr))
     if weight_extras:
         for name, ex in weight_extras.items():
-            if ex.round_offset is not None:
-                flat[f"extras/{name}/round_offset"] = np.asarray(
-                    jax.device_get(ex.round_offset)
-                ).astype(np.uint8)
-            if ex.mu is not None:
-                flat[f"extras/{name}/mu"] = np.asarray(jax.device_get(ex.mu))
-            if ex.shrink is not None:
-                flat[f"extras/{name}/shrink"] = np.asarray(jax.device_get(ex.shrink))
+            for f in _XFIELDS:
+                v = getattr(ex, f)
+                if v is None:
+                    continue
+                v = np.asarray(jax.device_get(v))
+                if f == "round_offset":
+                    # signed: GPTQ emits multi-level offsets in both directions
+                    v = v.astype(np.int16)
+                flat[f"extras/{name}/{f}"] = v
     if sample_count is not None:
         flat["misc/sample_count"] = np.asarray(jax.device_get(sample_count))
     if timestep_select is not None:
@@ -149,10 +156,7 @@ def load_calibration(path: str, args, seq, model_sig=None):
     }
     out["attn_ranges"] = attn_ranges or None
     out["weight_extras"] = {
-        n: WeightExtras(
-            round_offset=d.get("round_offset"), mu=d.get("mu"), shrink=d.get("shrink")
-        )
-        for n, d in extras.items()
+        n: WeightExtras(**{f: d.get(f) for f in _XFIELDS}) for n, d in extras.items()
     } or None
     logging.info(f"loaded calibration cache from {path} ({len(out['qstates'])} layers)")
     return out

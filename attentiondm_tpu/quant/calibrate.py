@@ -30,6 +30,7 @@ import optax
 
 from ..models.unet import unet_apply, conv2d
 from ..diffusion.sampling import _seq_alphas, ddim_step
+from ..ops.quant_conv import weight_grid
 from .groupwise import groupwise_ranges
 from .primitives import lp_loss
 from .state import ActQuantConfig, ActQuantState, quantize_activation_mixture
@@ -414,15 +415,8 @@ def serving_surrogate_apply(
         kh, kw, ci, co = kernel.shape
         g = kernel / scale.reshape(1, 1, ci, 1)
         nw = 2 ** (pol.w_bit - 1)
-        if symmetric:
-            am = jnp.maximum(jnp.abs(g).max(axis=(0, 1, 2)), 1e-8) * ex.shrink
-            ws = (nw - 1) / am
-            wzp = jnp.zeros_like(ws)
-        else:
-            gmin = jnp.minimum(g.min(axis=(0, 1, 2)), 0.0) * ex.shrink
-            gmax = jnp.maximum(g.max(axis=(0, 1, 2)), 1e-8) * ex.shrink
-            ws = (2**pol.w_bit - 1) / (gmax - gmin)
-            wzp = jnp.round(ws * gmin) + nw
+        # the one true grid (ops/quant_conv.weight_grid), differentiably
+        ws, wzp = weight_grid(g, pol.w_bit, symmetric, ex.shrink)
         base = ws * g - wzp
         if ex.round_offset is not None:
             gq = jnp.clip(ste_floor(base) + ex.round_offset, -nw, nw - 1)
@@ -527,8 +521,15 @@ def calibrate_teacher_matched(
             )
         return out
 
+    use_extras = serving_extras is not None  # static: picks the loss forward
+
+    # NOTE: extras_ rides through jit as an ARGUMENT — round_offset is
+    # kernel-shaped per conv, and closure-captured pytrees become HLO
+    # literals that blow the remote-compile payload limit on CelebA+ models
+    # (CLAUDE.md / PERFORMANCE.md "Measurement methodology")
     @jax.jit
-    def run_epoch(p, base_qstates, theta, opt_state, best_theta, best_loss, xs_, eref_):
+    def run_epoch(p, base_qstates, extras_, theta, opt_state, best_theta,
+                  best_loss, xs_, eref_):
         def body(carry, inp):
             theta, opt_state, best_theta, best_loss = carry
             s, t_i, x_s, e_s = inp
@@ -536,9 +537,9 @@ def calibrate_teacher_matched(
             def loss_fn(th):
                 qs = apply_theta(base_qstates, th)
                 t_vec = jnp.full((n,), t_i, jnp.float32)
-                if serving_extras is not None:
+                if use_extras:
                     et = serving_surrogate_apply(
-                        qunet, p, qs, serving_extras, x_s, t_vec, s,
+                        qunet, p, qs, extras_, x_s, t_vec, s,
                         symmetric=symmetric,
                     )
                 else:
@@ -574,8 +575,8 @@ def calibrate_teacher_matched(
     losses: list = []
     for _ep in range(epochs):
         theta, opt_state, best_theta, best_loss, ep_losses = run_epoch(
-            forward_params, qstates, theta, opt_state, best_theta, best_loss,
-            xs_in, eps_ref,
+            forward_params, qstates, serving_extras, theta, opt_state,
+            best_theta, best_loss, xs_in, eps_ref,
         )
         losses.extend(float(v) for v in np.asarray(ep_losses))
     return apply_theta(qstates, best_theta), losses
@@ -670,20 +671,26 @@ def refine_weight_extras(
     if train_bias:
         theta0["bd"] = {nm: _init_field(extras[nm].bias_delta, _co(nm), False) for nm in sel}
 
-    def apply_theta(th):
+    def apply_theta_on(extras_, th):
         """Build extras from theta (fields [co] in-lane / [S, co] final)."""
-        out = dict(extras)
+        out = dict(extras_)
         for nm in sel:
-            ex = extras[nm]
+            ex = extras_[nm]
             m = jnp.exp(th["logm"][nm]) if "logm" in th else ex.out_mult
             bd = th["bd"][nm] if "bd" in th else ex.bias_delta
             out[nm] = _dc.replace(ex, out_mult=m, bias_delta=bd)
         return out
 
-    def step_loss(p, th, s, t_i, x_s, e_s):
-        ex2 = apply_theta(th)
+    def apply_theta(th):
+        return apply_theta_on(extras, th)
+
+    # qstates/extras ride through jit as ARGUMENTS (kernel-shaped
+    # round_offsets as closure literals would blow the remote-compile
+    # payload limit on CelebA+ models — CLAUDE.md)
+    def step_loss(p, qs_, ex_, th, s, t_i, x_s, e_s):
+        ex2 = apply_theta_on(ex_, th)
         t_vec = jnp.full((n,), t_i, jnp.float32)
-        et = serving_surrogate_apply(qunet, p, qstates, ex2, x_s, t_vec, s,
+        et = serving_surrogate_apply(qunet, p, qs_, ex2, x_s, t_vec, s,
                                      symmetric=symmetric)
         return jnp.mean(jnp.square(et - e_s)) / jnp.mean(jnp.square(e_s))
 
@@ -695,23 +702,24 @@ def refine_weight_extras(
         assert S % chunk == 0, (S, chunk)
         nch = S // chunk
 
-        def chunk_loss(p, th_c, s_c, t_c, x_c, e_c):
+        def chunk_loss(p, qs_, ex_, th_c, s_c, t_c, x_c, e_c):
             # th_c fields are [chunk, co]; vmap maps them to [co] lanes, so
             # step_loss sees 1-D extras exactly as the deployed fold will
             # (after restacking) at that step.
-            per_lane = jax.vmap(step_loss, in_axes=(None, 0, 0, 0, 0, 0))(
-                p, th_c, s_c, t_c, x_c, e_c
+            per_lane = jax.vmap(step_loss, in_axes=(None, None, None, 0, 0, 0, 0, 0))(
+                p, qs_, ex_, th_c, s_c, t_c, x_c, e_c
             )
             return per_lane.mean()
 
         @jax.jit
-        def solve_all(p, theta, xs_, eref_):
+        def solve_all(p, qs_, ex_, theta, xs_, eref_):
             def body(_, inp):
                 th_c, s_c, t_c, x_c, e_c = inp
 
                 def it(i, carry):
                     th, st, best_l, best_th, trace = carry
-                    l, g = jax.value_and_grad(chunk_loss, argnums=1)(p, th, s_c, t_c, x_c, e_c)
+                    l, g = jax.value_and_grad(chunk_loss, argnums=3)(
+                        p, qs_, ex_, th, s_c, t_c, x_c, e_c)
                     better = l < best_l
                     best_l = jnp.where(better, l, best_l)
                     best_th = jax.tree_util.tree_map(
@@ -727,7 +735,7 @@ def refine_weight_extras(
                     (th_c, opt.init(th_c), jnp.float32(jnp.inf), th_c, trace0),
                 )
                 # final iterate: evaluate and keep if best
-                l_f = chunk_loss(p, th, s_c, t_c, x_c, e_c)
+                l_f = chunk_loss(p, qs_, ex_, th, s_c, t_c, x_c, e_c)
                 better = l_f < best_l
                 best_th = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(better, a, b), th, best_th
@@ -749,15 +757,16 @@ def refine_weight_extras(
             )
             return th_final, traces
 
-        theta, traces = solve_all(params, theta0, xs_in, eps_ref)
+        theta, traces = solve_all(params, qstates, extras, theta0, xs_in, eps_ref)
         return apply_theta(theta), np.asarray(traces)
 
     @jax.jit
-    def run_epoch(p, theta, opt_state, xs_, eref_):
+    def run_epoch(p, qs_, ex_, theta, opt_state, xs_, eref_):
         def body(carry, inp):
             theta, opt_state = carry
             s, t_i, x_s, e_s = inp
-            loss, grads = jax.value_and_grad(step_loss, argnums=1)(p, theta, s, t_i, x_s, e_s)
+            loss, grads = jax.value_and_grad(step_loss, argnums=3)(
+                p, qs_, ex_, theta, s, t_i, x_s, e_s)
             upd, opt_state = opt.update(grads, opt_state)
             theta = optax.apply_updates(theta, upd)
             return (theta, opt_state), loss
@@ -769,10 +778,10 @@ def refine_weight_extras(
         return theta, opt_state, losses
 
     @jax.jit
-    def eval_epoch(p, theta, xs_, eref_):
+    def eval_epoch(p, qs_, ex_, theta, xs_, eref_):
         def body(_, inp):
             s, t_i, x_s, e_s = inp
-            return None, step_loss(p, theta, s, t_i, x_s, e_s)
+            return None, step_loss(p, qs_, ex_, theta, s, t_i, x_s, e_s)
 
         _, losses = jax.lax.scan(
             body, None, (jnp.arange(S), jnp.asarray(t_rev), xs_, eref_)
@@ -780,12 +789,13 @@ def refine_weight_extras(
         return losses.mean()
 
     best_theta = theta0
-    best_loss = float(eval_epoch(params, theta0, xs_in, eps_ref))
+    best_loss = float(eval_epoch(params, qstates, extras, theta0, xs_in, eps_ref))
     losses = [best_loss]
     theta, opt_state = theta0, opt.init(theta0)
     for _ep in range(epochs):
-        theta, opt_state, _ = run_epoch(params, theta, opt_state, xs_in, eps_ref)
-        l_ep = float(eval_epoch(params, theta, xs_in, eps_ref))
+        theta, opt_state, _ = run_epoch(params, qstates, extras, theta, opt_state,
+                                        xs_in, eps_ref)
+        l_ep = float(eval_epoch(params, qstates, extras, theta, xs_in, eps_ref))
         losses.append(l_ep)
         if l_ep < best_loss:
             best_loss, best_theta = l_ep, theta

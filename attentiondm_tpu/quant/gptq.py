@@ -32,6 +32,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant_conv import weight_grid
 from .adaround import ConvStats
 
 
@@ -47,15 +48,9 @@ def _gptq_opt(g, gram, shrink, *, w_bit: int, symmetric: bool,
     """
     K, co = g.shape
     n = 2 ** (w_bit - 1)
-    if symmetric:
-        am = jnp.maximum(jnp.abs(g).max(axis=0), 1e-8) * shrink
-        ws = (n - 1) / am
-        wzp = jnp.zeros_like(ws)
-    else:
-        gmin = jnp.minimum(g.min(axis=0), 0.0) * shrink
-        gmax = jnp.maximum(g.max(axis=0), 1e-8) * shrink
-        ws = (2**w_bit - 1) / (gmax - gmin)
-        wzp = jnp.round(ws * gmin) + n
+    # the one true grid (ops/quant_conv.weight_grid): offsets emitted here
+    # are only meaningful on the exact grid the per-step fold recomputes
+    ws, wzp = weight_grid(g, w_bit, symmetric, shrink)
 
     H = gram
     if act_order:
@@ -122,15 +117,6 @@ def gptq_offsets(
         act_order=act_order,
     )
     # express as offsets on the same grid the fold recomputes per step
-    n = 2 ** (w_bit - 1)
-    if symmetric:
-        am = jnp.maximum(jnp.abs(g).max(axis=0), 1e-8) * shrink
-        ws = (n - 1) / am
-        wzp = jnp.zeros_like(ws)
-    else:
-        gmin = jnp.minimum(g.min(axis=0), 0.0) * shrink
-        gmax = jnp.maximum(g.max(axis=0), 1e-8) * shrink
-        ws = (2**w_bit - 1) / (gmax - gmin)
-        wzp = jnp.round(ws * gmin) + n
+    ws, wzp = weight_grid(g, w_bit, symmetric, shrink)
     offs = gq - jnp.floor(ws[None, :] * g - wzp[None, :])
     return offs.reshape(kh, kw, ci, co)

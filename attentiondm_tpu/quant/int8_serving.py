@@ -127,13 +127,19 @@ def prepare_serving_runtime(
         gr = st.group_ranges if steps is None else st.group_ranges[steps]
         al = st.alpha_logits if steps is None else st.alpha_logits[steps]
         ex = weight_extras.get(name) if weight_extras else None
+
+        def _per_step(v):
+            # per-step ([S, co]) refinement fields follow the step window like
+            # group_ranges/alpha_logits; shared ([co]) fields pass through
+            return v if v is None or v.ndim == 1 or steps is None else v[steps]
+
         gq, ws, wzp, zc, scale, zp = _fold_all_steps(
             kernel, gr, al, pol.a_bit, pol.w_bit, symmetric,
             round_offset=None if ex is None else ex.round_offset,
             input_mu=None if ex is None else ex.mu,
             shrink=None if ex is None else ex.shrink,
-            out_mult=None if ex is None else ex.out_mult,
-            bias_delta=None if ex is None else ex.bias_delta,
+            out_mult=None if ex is None else _per_step(ex.out_mult),
+            bias_delta=None if ex is None else _per_step(ex.bias_delta),
         )
         co = kernel.shape[3]
         Np = gq.shape[-1]

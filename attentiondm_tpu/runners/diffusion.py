@@ -244,6 +244,24 @@ class Diffusion:
             return os.path.join(log_path, "calib_cache.npz")
         return cc
 
+    def _teacher_eps_scan(self, params, seq, xs_inputs):
+        """FP32 teacher eps over the calibration trajectory, one on-device scan
+        (shared by teacher-matched stage 2 and the fold refinement)."""
+        t_rev = np.asarray(list(seq))[::-1].astype(np.float32)
+        ucfg = self.ucfg
+
+        @jax.jit
+        def teacher_eps(p, xs):
+            def body(_, inp):
+                x, t_i = inp
+                t_vec = jnp.full((x.shape[0],), t_i, jnp.float32)
+                return None, unet_apply(p, ucfg, x, t_vec)
+
+            _, eps = jax.lax.scan(body, None, (xs, jnp.asarray(t_rev)))
+            return eps
+
+        return teacher_eps(params, xs_inputs)
+
     def calibrate_model(self, params, qunet, qstates, seq, first: bool = True,
                         collect_attn_ranges: bool = False,
                         compute_extras: bool = False):
@@ -321,20 +339,7 @@ class Diffusion:
             from ..quant.calibrate import calibrate_teacher_matched
 
             t0 = time.time()
-            t_rev = np.asarray(list(seq))[::-1].astype(np.float32)
-            ucfg = self.ucfg
-
-            @jax.jit
-            def teacher_eps(p, xs):
-                def body(_, inp):
-                    x, t_i = inp
-                    t_vec = jnp.full((x.shape[0],), t_i, jnp.float32)
-                    return None, unet_apply(p, ucfg, x, t_vec)
-
-                _, eps = jax.lax.scan(body, None, (xs, jnp.asarray(t_rev)))
-                return eps
-
-            eps_ref = teacher_eps(params, xs_inputs)
+            eps_ref = self._teacher_eps_scan(params, seq, xs_inputs)
             self._teacher_eps = eps_ref
             extras = getattr(self, "weight_extras", None)
             fwd_params = params if extras else qunet.prepare_params(params)[0]
@@ -390,20 +395,7 @@ class Diffusion:
             t0 = time.time()
             eps_ref = getattr(self, "_teacher_eps", None)
             if eps_ref is None:
-                t_rev = np.asarray(list(seq))[::-1].astype(np.float32)
-                ucfg = self.ucfg
-
-                @jax.jit
-                def teacher_eps_r(p, xs):
-                    def body(_, inp):
-                        x, t_i = inp
-                        t_vec = jnp.full((x.shape[0],), t_i, jnp.float32)
-                        return None, unet_apply(p, ucfg, x, t_vec)
-
-                    _, eps = jax.lax.scan(body, None, (xs, jnp.asarray(t_rev)))
-                    return eps
-
-                eps_ref = teacher_eps_r(params, xs_inputs)
+                eps_ref = self._teacher_eps_scan(params, seq, xs_inputs)
             self.weight_extras, _tr = refine_weight_extras(
                 qunet, params, qstates, self.weight_extras, xs_inputs, eps_ref,
                 seq, per_step=(refine_mode == "perstep"),
@@ -638,10 +630,15 @@ class Diffusion:
             total = args.num_samples if args.num_samples else 50000
             batch = getattr(config.sampling, "batch_size", 256)
             if serving and getattr(args, "superbatch", None):
-                # chunked big-model mode: generate a superbatch per sampler
-                # pass so the per-chunk weight fold amortizes over it (the
-                # sampler internally advances micro_batch images at a time)
-                batch = max(batch, int(args.superbatch))
+                if getattr(args, "step_chunk", None):
+                    # chunked big-model mode: generate a superbatch per sampler
+                    # pass so the per-chunk weight fold amortizes over it (the
+                    # sampler internally advances micro_batch images at a time)
+                    batch = max(batch, int(args.superbatch))
+                else:
+                    # without step_chunk there is no micro_batch loop: the
+                    # whole superbatch would run as ONE activation batch
+                    logging.warning("--superbatch requires --step_chunk; ignoring")
             batch = max(n_dev, batch - batch % n_dev)
             # deterministic resumability: keys derive from the batch INDEX, so
             # an interrupted run restarted over the same folder continues the
@@ -769,8 +766,13 @@ class Diffusion:
                 group_num=int(getattr(args, "normgroup", 0) or 0),
             )
             qstates = qunet.init_state(S)
+            # mirror sample()'s attn_int8 gating: a cache saved here with
+            # meta attn_int8=True but no attention ranges would be trusted
+            # by a later --attn_int8 sample run and silently lose its
+            # calibrated static scales
             qstates, _mp = self.calibrate_model(
-                params, qunet, qstates, seq, first=True, compute_extras=serving
+                params, qunet, qstates, seq, first=True, compute_extras=serving,
+                collect_attn_ranges=serving and bool(getattr(args, "attn_int8", False)),
             )
             if serving:
                 from ..quant.int8_serving import prepare_serving_runtime, serving_unet_apply

@@ -320,6 +320,7 @@ def run_protocol(
         add_row(f"w{w_bit}a{a_bit}_s1", eps_q, xf_q)
 
         qstates_tm = None
+        eps_cal_ref = None  # FP teacher eps over xs_cal, computed at most once
         if stage2_teacher:
             # teacher-matched stage 2 (round 3): optimize alpha + range
             # scale against the FP32 teacher's eps on its own trajectory
@@ -428,11 +429,14 @@ def run_protocol(
                 # per-step weight error that compounds over the free run
                 from ..quant.calibrate import refine_weight_extras
 
-                @jax.jit
-                def _cal_eps(p, xs):
-                    return _eps_scan(fp_fn_of(p), xs, t_rev)
+                if eps_cal_ref is None:
 
-                eps_cal = _cal_eps(params, xs_cal)
+                    @jax.jit
+                    def _cal_eps(p, xs):
+                        return _eps_scan(fp_fn_of(p), xs, t_rev)
+
+                    eps_cal_ref = _cal_eps(params, xs_cal)
+                eps_cal = eps_cal_ref
                 extras_ps, _ = refine_weight_extras(
                     qunet, params, qstates, extras, xs_cal, eps_cal, seq,
                     per_step=True,

@@ -87,3 +87,33 @@ def test_int8_flash_attention_static_matches_oracle_large_L():
         qq, kq, vq, sq, sk, sv, out_scale, out_zp, 8, scale=scale, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))
+
+
+def test_int8_flash_static_odd_multiple_of_256_blocks_snap():
+    """L=2304 (odd multiple of 256) exceeds the dispatch VMEM budget, so it
+    must stream — block_k snaps 512 -> 256 instead of dying on the
+    divisibility assert (round-3 review finding)."""
+    from attentiondm_tpu.ops.int8_attention import (
+        fused_int8_attention_static,
+        fused_int8_attention_static_reference,
+    )
+
+    B, L, C = 1, 2304, 128
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    qq = jax.random.randint(ks[0], (B, L, C), -127, 128, dtype=jnp.int32).astype(jnp.int8)
+    kq = jax.random.randint(ks[1], (B, L, C), -127, 128, dtype=jnp.int32).astype(jnp.int8)
+    vq = jax.random.randint(ks[2], (B, L, C), -127, 128, dtype=jnp.int32).astype(jnp.int8)
+    sq, sk, sv = jnp.float32(0.013), jnp.float32(0.011), jnp.float32(0.02)
+    out_scale = jnp.abs(jax.random.normal(jax.random.PRNGKey(8), (C,))) + 1.0
+    out_zp = jnp.round(jax.random.normal(jax.random.PRNGKey(9), (C,)) * 3)
+    scale = C ** -0.5
+
+    assert L * C * 24 > 6 * 1024 * 1024 and L % 256 == 0 and L % 512 != 0
+    out = fused_int8_attention_static(
+        qq, kq, vq, sq, sk, sv, out_scale, out_zp, 8, scale=scale, interpret=True
+    )
+    ref = fused_int8_attention_static_reference(
+        qq, kq, vq, sq, sk, sv, out_scale, out_zp, 8, scale=scale
+    )
+    diff = np.abs(np.asarray(out, np.int32) - np.asarray(ref, np.int32))
+    assert diff.max() <= 1, diff.max()

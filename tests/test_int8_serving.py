@@ -333,3 +333,42 @@ def test_serving_boundary_fusion_matches_interception():
         x, t, jnp.asarray(0))
     rel_off = float(jnp.abs(got_off - want).mean() / (jnp.abs(want).mean() + 1e-9))
     assert rel_off < 0.02, rel_off
+
+
+def test_chunked_sampler_slices_per_step_extras():
+    """step_chunk must apply chunk c's out_mult/bias_delta rows, not rows
+    0..chunk-1 (round-3 review finding: gr/al were sliced, extras were not).
+    Per-step values DIFFER across steps so the bug cannot cancel."""
+    from attentiondm_tpu.diffusion import DiffusionSchedule
+    from attentiondm_tpu.quant.adaround import WeightExtras
+
+    cfg, params, qunet, qstates, xs, seq = _setup(steps=4)
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    seq = [0, 300, 600, 900]
+    S = len(seq)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3))
+
+    names = list(prepare_serving_runtime(qunet, params, qstates).keys())
+    extras = {}
+    k = jax.random.PRNGKey(9)
+    for n in names:
+        node = params
+        for p in n.split("."):
+            node = node[int(p)] if isinstance(node, list) else node[p]
+        co = node["kernel"].shape[3]
+        k, k1, k2 = jax.random.split(k, 3)
+        extras[n] = WeightExtras(
+            round_offset=None, mu=None, shrink=jnp.ones((co,)),
+            out_mult=1.0 + 0.2 * jax.random.normal(k1, (S, co)),
+            bias_delta=0.05 * jax.random.normal(k2, (S, co)),
+        )
+
+    full = serving_ddim_sampler(
+        qunet, params, qstates, seq, sched.betas, weight_extras=extras
+    )
+    chunked = serving_ddim_sampler(
+        qunet, params, qstates, seq, sched.betas, step_chunk=3, weight_extras=extras
+    )
+    np.testing.assert_allclose(
+        np.asarray(full(x)), np.asarray(chunked(x)), rtol=1e-5, atol=1e-6
+    )

@@ -177,3 +177,80 @@ def test_calib_cache_keys_on_weight_refine(tmp_path):
     miss_args = make_args(tmp_path, calib_cache=cache, weight_refine="perstep")
     # metadata mismatch -> miss (load_calibration keys on weight_refine)
     assert load_calibration(cache, miss_args, seq, model_sig=sig) is None
+
+
+def test_calib_cache_roundtrips_signed_gptq_offsets(tmp_path):
+    """GPTQ rounding offsets are SIGNED multi-level ints; the round-2 cache
+    stored them as uint8, wrapping -1 to 255 and pinning those weights to
+    +max on reload (round-3 review finding).  Direct save/load round-trip
+    with negative offsets and per-step refinement fields."""
+    import jax.numpy as jnp
+    import jax
+
+    from attentiondm_tpu.quant.adaround import WeightExtras
+    from attentiondm_tpu.quant.calib_cache import load_calibration, save_calibration
+    from attentiondm_tpu.quant.state import ActQuantState
+
+    args = make_args(tmp_path, weight_opt="gptq", weight_refine="perstep")
+    seq = [0, 300, 600]
+    S = 3
+    qstates = {
+        "down.0.block.0.conv1": ActQuantState(
+            init_range=jnp.zeros((2,)),
+            act_min=jnp.zeros((S,)),
+            act_max=jnp.ones((S,)),
+            group_ranges=jnp.ones((S, 2, 2)),
+            alpha_logits=jnp.zeros((S, 2, 4)),
+        )
+    }
+    extras = {
+        "down.0.block.0.conv1": WeightExtras(
+            round_offset=jnp.asarray([[[[-3, 0], [2, -1]]]], jnp.float32),
+            mu=jnp.asarray([0.1, -0.2]),
+            shrink=jnp.asarray([0.9, 1.0]),
+            out_mult=1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (S, 2)),
+            bias_delta=0.01 * jax.random.normal(jax.random.PRNGKey(1), (S, 2)),
+        )
+    }
+    cache = os.path.join(str(tmp_path), "signed.npz")
+    save_calibration(cache, args, seq, qstates, weight_extras=extras)
+    out = load_calibration(cache, args, seq)
+    assert out is not None
+    got = out["weight_extras"]["down.0.block.0.conv1"]
+    want = extras["down.0.block.0.conv1"]
+    np.testing.assert_array_equal(np.asarray(got.round_offset),
+                                  np.asarray(want.round_offset))
+    assert float(np.asarray(got.round_offset).min()) == -3.0  # sign survived
+    np.testing.assert_allclose(np.asarray(got.out_mult), np.asarray(want.out_mult))
+    np.testing.assert_allclose(np.asarray(got.bias_delta), np.asarray(want.bias_delta))
+    np.testing.assert_allclose(np.asarray(got.shrink), np.asarray(want.shrink))
+
+
+def test_superbatch_without_step_chunk_warns_and_keeps_batch(tmp_path, caplog):
+    """--superbatch without --step_chunk has no micro_batch loop; it must be
+    ignored with a warning, not run the superbatch as one activation batch."""
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path, fid=True, num_samples=8, superbatch=8, weight_opt="off")
+    with caplog.at_level(logging.WARNING):
+        Diffusion(args, config).sample()
+    assert any("superbatch" in r.message for r in caplog.records)
+    pngs = [f for f in os.listdir(args.image_folder) if f[:-4].isdigit()]
+    assert len(pngs) == 8
+
+
+def test_test_cache_with_attn_int8_carries_ranges(tmp_path):
+    """test() saving a cache under --attn_int8 must include attention ranges
+    (a trusted cache without them silently loses the calibrated static
+    scales on a later --attn_int8 sample run)."""
+    from attentiondm_tpu.quant.calib_cache import load_calibration
+
+    config = tiny_config(tmp_path)
+    cache = os.path.join(str(tmp_path), "tcache.npz")
+    args = make_args(tmp_path, test=True, attn_int8=True, calib_cache=cache,
+                     weight_opt="off")
+    runner = Diffusion(args, config)
+    runner.test()
+    assert os.path.exists(cache)
+    out = load_calibration(cache, args, [int(s) for s in runner.make_seq()],
+                           model_sig=str(runner.ucfg))
+    assert out is not None and out["attn_ranges"], "cache lacks attention ranges"
