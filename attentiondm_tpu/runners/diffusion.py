@@ -136,29 +136,62 @@ class Diffusion:
     def train(self):
         args, config = self.args, self.config
         train_ds, _ = get_dataset(args, config)
-        mesh = make_mesh()
-        n_dev = mesh.devices.size
+        tp = int(getattr(args, "tp", 1) or 1)
+        n_all = len(jax.devices())
+        if tp > 1 and (n_all % tp or 32 % tp):
+            logging.warning(
+                f"--tp {tp} must divide the device count ({n_all}) and the 32 "
+                "GroupNorm groups; falling back to pure DP"
+            )
+            tp = 1
+        if tp > 1:
+            # dp x tp: Megatron-paired param shardings (parallel/tp.py) —
+            # params/grads/moments/EMA live sharded, XLA psums over ICI
+            mesh = make_mesh(axes=("data", "model"), shape=(n_all // tp, tp))
+            n_dev = n_all // tp  # batch shards over the data axis only
+        else:
+            mesh = make_mesh()
+            n_dev = mesh.devices.size
         batch = config.training.batch_size
         batch -= batch % n_dev or 0
-        logging.info(f"training on {n_dev} device(s), batch {batch}")
+        logging.info(f"training on {n_all} device(s) (dp{n_dev} x tp{tp}), batch {batch}")
 
         tx = get_optimizer(config)
         params = unet_init(jax.random.PRNGKey(args.seed), self.ucfg)
-        state = init_train_state(params, tx, use_ema=bool(config.model.ema))
 
         start_step = 0
         ckpt_path = os.path.join(args.log_path, "ckpt.npz")
-        if args.resume_training and os.path.exists(ckpt_path):
-            state = ckpt_io.load_checkpoint(ckpt_path, state)
-            start_step = int(state.step)
-            logging.info(f"resumed from step {start_step}")
+        param_specs = None
+        if tp > 1:
+            from ..parallel import shard_unet_params, unet_param_specs
 
-        state = replicate(mesh, state)
+            param_specs = unet_param_specs(params)
+            params = shard_unet_params(mesh, params)
+            state = jax.jit(
+                lambda p: init_train_state(p, tx, use_ema=bool(config.model.ema))
+            )(params)
+            if args.resume_training and os.path.exists(ckpt_path):
+                # checkpoints are name-keyed host arrays; reload into the
+                # sharded template's layout (shards re-distribute on put)
+                shardings = jax.tree_util.tree_map(lambda a: a.sharding, state)
+                state = ckpt_io.load_checkpoint(ckpt_path, state)
+                start_step = int(state.step)
+                state = jax.device_put(state, shardings)
+                logging.info(f"resumed from step {start_step}")
+        else:
+            state = init_train_state(params, tx, use_ema=bool(config.model.ema))
+            if args.resume_training and os.path.exists(ckpt_path):
+                state = ckpt_io.load_checkpoint(ckpt_path, state)
+                start_step = int(state.step)
+                logging.info(f"resumed from step {start_step}")
+            state = replicate(mesh, state)
+
         step_fn = make_sharded_train_step(
             mesh,
             self.ucfg,
             self.betas,
             tx,
+            param_specs=param_specs,
             grad_clip=getattr(config.optim, "grad_clip", None),
             ema_rate=config.model.ema_rate if config.model.ema else None,
         )

@@ -92,6 +92,10 @@ def parse_args_and_config():
                         help="serving+step_chunk only: generate this many images per "
                              "sampler pass, advanced micro-batch-wise through each "
                              "weight-fold chunk (amortizes fold work on 50k runs)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="training: tensor-parallel degree (Megatron-paired UNet "
+                             "shardings over a (data, model) mesh; must divide the "
+                             "device count and the 32 GroupNorm groups)")
     parser.add_argument("--weight_opt", type=str, default="gptq",
                         choices=["off", "biascorr", "adaround", "gptq"],
                         help="serving weight-quality pass: GPTQ error-compensated "

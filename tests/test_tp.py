@@ -152,3 +152,37 @@ def test_tp_train_step_matches_dp():
 def test_mesh_explicit_shape_validation():
     with pytest.raises(ValueError, match="does not cover"):
         make_mesh(8, axes=("data", "model"), shape=(2, 2))
+
+
+def test_runner_train_with_tp(tmp_path):
+    """CLI surface: Diffusion.train() with --tp 4 on the 8-device mesh —
+    sharded state trains, snapshots, and resumes."""
+    import os
+
+    from attentiondm_tpu.runners import Diffusion
+
+    from test_runner import make_args, tiny_config
+
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path, tp=4)
+    Diffusion(args, config).train()
+    assert os.path.exists(os.path.join(args.log_path, "ckpt.npz"))
+
+    # resume re-distributes the host checkpoint onto the tp layout
+    args2 = make_args(tmp_path, tp=4, resume_training=True)
+    config.training.n_iters = 5
+    Diffusion(args2, config).train()
+
+
+def test_runner_train_tp_indivisible_falls_back(tmp_path, caplog):
+    import logging
+
+    from attentiondm_tpu.runners import Diffusion
+
+    from test_runner import make_args, tiny_config
+
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path, tp=3)  # 3 divides neither 8 devices nor 32 groups
+    with caplog.at_level(logging.WARNING):
+        Diffusion(args, config).train()
+    assert any("falling back to pure DP" in r.message for r in caplog.records)
