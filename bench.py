@@ -2,7 +2,8 @@
 
 Runs the real quantized pipeline on whatever device JAX provides (one TPU
 chip under the driver): stage-1 calibration from a small FP teacher
-trajectory, then steady-state quantized DDIM-100 sampling at batch 256.
+trajectory, then steady-state quantized DDIM-100 sampling at batch 128 (the
+single-chip optimum from the round-3 batch sweep).
 
 Baseline: the driver's north star is 50,000 CIFAR-10 images at W4A8 on a
 v5e-8 in <10 min => 50000 / 600 / 8 = 10.42 img/s/chip.  vs_baseline is the
@@ -59,7 +60,13 @@ def main():
     # bf16 residual stream: +18% over f32 residuals; quality-validated by
     # tools/quality_protocol.py (int8_w4a8_bf16res row == int8_w4a8 row to
     # 3 significant digits in eps rel-MSE and PSNR — PERFORMANCE.md).
-    batch = 256
+    #
+    # batch 128 is the single-chip throughput optimum (round-3 interleaved
+    # sweep over 32..512: 88.9 img/s at 128 vs 75.2 at 256 vs 66.6 at 512 —
+    # the smaller per-step working set keeps level-0 activations resident;
+    # benchmarks/batch_sweep_r3.log).  Throughput is batch-shape-stable
+    # within ±2% across reps; quality is batch-independent.
+    batch = 128
     sample = serving_ddim_sampler(
         qunet, params, qstates, seq, sched.betas,
         residual_dtype=jnp.bfloat16, attn_int8=False,
@@ -81,7 +88,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "images_per_sec_per_chip (CIFAR-10 DDIM-100, W4A8, batch 256)",
+                "metric": "images_per_sec_per_chip (CIFAR-10 DDIM-100, W4A8, batch 128)",
                 "value": round(img_per_sec_per_chip, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_per_sec_per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
