@@ -623,12 +623,12 @@ class Diffusion:
             )
             logging.info(f"sampling with {len(list(seq))} steps, model={desc}")
 
-            def sample_batch(n, key):
+            def dispatch_batch(n, key):
+                """Launch one batch on the device; returns ASYNC arrays."""
                 shape = (n, config.data.image_size, config.data.image_size,
                          config.data.channels)
                 x = jax.random.normal(key, shape)
-                out = sampler(shard_batch(mesh, x), key)
-                return inverse_data_transform(config, jax.device_get(out))
+                return sampler(shard_batch(mesh, x), key)
 
         else:
             apply, mstate, desc = self._build_model(params, seq)
@@ -647,12 +647,14 @@ class Diffusion:
                     )
                 )
 
-            def sample_batch(n, key):
+            def dispatch_batch(n, key):
+                """Launch one batch on the device; returns ASYNC arrays."""
                 shape = (n, config.data.image_size, config.data.image_size, config.data.channels)
                 x = jax.random.normal(key, shape)
-                out = jitted(mstate, shard_batch(mesh, x), key)
-                return inverse_data_transform(config, jax.device_get(out))
+                return jitted(mstate, shard_batch(mesh, x), key)
 
+        def sample_batch(n, key):
+            return inverse_data_transform(config, jax.device_get(dispatch_batch(n, key)))
 
         os.makedirs(args.image_folder, exist_ok=True)
         key = jax.random.PRNGKey(args.seed)
@@ -686,17 +688,35 @@ class Diffusion:
             start = img_id
             if start:
                 logging.info(f"resuming: {start} images already in {args.image_folder}")
-            t0 = time.time()
-            while img_id < total:
-                n = min(batch, total - img_id)
+            # software-pipelined loop: dispatch batch k+1 to the device
+            # BEFORE pulling + PNG-encoding batch k, so host encode overlaps
+            # device compute (JAX dispatch is async; only device_get blocks).
+            # Keys still derive from the batch index, so the image stream is
+            # byte-identical to the sequential loop (resume-compatible).
+            todo = []
+            iid = img_id
+            while iid < total:
+                n = min(batch, total - iid)
                 # round the GENERATED batch up to the device count (sharding
                 # needs it) but write only `n` PNGs, so the set lands on
                 # exactly `total` images — no final-batch overshoot
                 n_gen = max(n_dev, n + (-n) % n_dev)
-                sub = jax.random.fold_in(key, img_id // batch)
-                imgs = sample_batch(n_gen, sub)[:n]
+                todo.append((iid, n, n_gen, jax.random.fold_in(key, iid // batch)))
+                iid += n
+            # step_chunk mode bounds folded-weight HBM per chunk; two
+            # in-flight batches would double it — stay sequential there
+            pipeline = not (serving and getattr(args, "step_chunk", None))
+            t0 = time.time()
+            pending = (
+                dispatch_batch(todo[0][2], todo[0][3]) if todo and pipeline else None
+            )
+            for j, (iid, n, n_gen, sub) in enumerate(todo):
+                out = pending if pipeline else dispatch_batch(n_gen, sub)
+                if pipeline and j + 1 < len(todo):
+                    pending = dispatch_batch(todo[j + 1][2], todo[j + 1][3])
+                imgs = inverse_data_transform(config, jax.device_get(out))[:n]
                 # multithreaded C++ PNG encode (PIL fallback inside)
-                img_id += write_png_batch(imgs, args.image_folder, img_id)
+                img_id = iid + write_png_batch(imgs, args.image_folder, iid)
                 rate = (img_id - start) / max(1e-9, time.time() - t0)
                 logging.info(
                     f"{img_id}/{total} images ({rate:.1f} img/s, {rate/n_dev:.1f} img/s/chip)"
