@@ -137,24 +137,39 @@ class Diffusion:
         args, config = self.args, self.config
         train_ds, _ = get_dataset(args, config)
         tp = int(getattr(args, "tp", 1) or 1)
+        sp = int(getattr(args, "sp", 1) or 1)
         n_all = len(jax.devices())
+        if tp > 1 and sp > 1:
+            logging.warning("--tp and --sp shard the same mesh axis; ignoring --sp")
+            sp = 1
         if tp > 1 and (n_all % tp or 32 % tp):
             logging.warning(
                 f"--tp {tp} must divide the device count ({n_all}) and the 32 "
                 "GroupNorm groups; falling back to pure DP"
             )
             tp = 1
-        if tp > 1:
+        if sp > 1 and n_all % sp:
+            logging.warning(
+                f"--sp {sp} must divide the device count ({n_all}); "
+                "falling back to pure DP"
+            )
+            sp = 1
+        if tp > 1 or sp > 1:
             # dp x tp: Megatron-paired param shardings (parallel/tp.py) —
-            # params/grads/moments/EMA live sharded, XLA psums over ICI
-            mesh = make_mesh(axes=("data", "model"), shape=(n_all // tp, tp))
-            n_dev = n_all // tp  # batch shards over the data axis only
+            # params/grads/moments/EMA live sharded, XLA psums over ICI.
+            # dp x sp: image-height sharding, params replicated — GSPMD
+            # halo-exchanges the 3x3 convs (256x256 activation memory).
+            model = tp if tp > 1 else sp
+            mesh = make_mesh(axes=("data", "model"), shape=(n_all // model, model))
+            n_dev = n_all // model  # batch shards over the data axis only
         else:
             mesh = make_mesh()
             n_dev = mesh.devices.size
         batch = config.training.batch_size
         batch -= batch % n_dev or 0
-        logging.info(f"training on {n_all} device(s) (dp{n_dev} x tp{tp}), batch {batch}")
+        logging.info(
+            f"training on {n_all} device(s) (dp{n_dev} x tp{tp} x sp{sp}), batch {batch}"
+        )
 
         tx = get_optimizer(config)
         params = unet_init(jax.random.PRNGKey(args.seed), self.ucfg)
@@ -192,6 +207,7 @@ class Diffusion:
             self.betas,
             tx,
             param_specs=param_specs,
+            spatial=sp > 1,
             grad_clip=getattr(config.optim, "grad_clip", None),
             ema_rate=config.model.ema_rate if config.model.ema else None,
         )
@@ -205,13 +221,21 @@ class Diffusion:
         step = start_step
         key = jax.random.PRNGKey(args.seed + 1)
         rng = np.random.default_rng(args.seed)
+        if sp > 1:
+            # jit with explicit in_shardings does not reshard committed args:
+            # place the batch on its (data, model) = (N, H) sharding here
+            from ..parallel import shard_batch_spatial
+
+            place_batch = lambda x: shard_batch_spatial(mesh, x)
+        else:
+            place_batch = lambda x: shard_batch(mesh, x)
         for epoch in range(config.training.n_epochs):
             t_data = time.time()
             for x, _y in iterate_batches(train_ds, batch, seed=args.seed + epoch):
                 data_time = time.time() - t_data
                 x = data_transform(config, x, rng)
                 key, sub = jax.random.split(key)
-                state, loss = step_fn(state, shard_batch(mesh, x), replicate(mesh, sub))
+                state, loss = step_fn(state, place_batch(x), replicate(mesh, sub))
                 step += 1
                 loss = float(loss)
                 logging.info(f"step: {step}, loss: {loss:.5f}, data time: {data_time:.3f}")

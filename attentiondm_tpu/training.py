@@ -108,7 +108,8 @@ def make_train_step(
     return train_step
 
 
-def make_sharded_train_step(mesh, cfg, betas, tx, *, param_specs=None, **kw):
+def make_sharded_train_step(mesh, cfg, betas, tx, *, param_specs=None,
+                            spatial=False, **kw):
     """The same step, jitted over `mesh`.
 
     param_specs=None: pure DP — params/opt state replicated, batch sharded on
@@ -117,12 +118,20 @@ def make_sharded_train_step(mesh, cfg, betas, tx, *, param_specs=None, **kw):
     param_specs=<PartitionSpec pytree> (see parallel/tp.py): dp x tp — params,
     grads, Adam moments, and EMA all live sharded; XLA inserts the activation
     psums (one per resblock, two per attention).  The new params/EMA are
-    pinned back to the spec so the layout cannot drift step-over-step."""
+    pinned back to the spec so the layout cannot drift step-over-step.
+
+    spatial=True (2-D mesh, params replicated): dp x sp — the batch shards
+    over 'data' AND the image height over 'model'; GSPMD halo-exchanges the
+    3x3 convs and psums GroupNorm/loss reductions.  The activation-memory
+    story for 256x256 training, exclusive with param_specs."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if spatial and param_specs is not None:
+        raise ValueError("spatial sharding shards activations; tensor "
+                         "parallelism shards the same mesh axis — pick one")
     step = make_train_step(cfg, betas, tx, **kw)
     repl = NamedSharding(mesh, P())
-    batch = NamedSharding(mesh, P("data"))
+    batch = NamedSharding(mesh, P("data", "model") if spatial else P("data"))
     if param_specs is None:
         return jax.jit(
             step,

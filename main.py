@@ -96,6 +96,11 @@ def parse_args_and_config():
                         help="training: tensor-parallel degree (Megatron-paired UNet "
                              "shardings over a (data, model) mesh; must divide the "
                              "device count and the 32 GroupNorm groups)")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="training: spatial-parallel degree — shard the image "
+                             "height over the mesh (halo-exchanged convs; the "
+                             "activation-memory axis for 256x256 models). "
+                             "Exclusive with --tp.")
     parser.add_argument("--weight_opt", type=str, default="gptq",
                         choices=["off", "biascorr", "adaround", "gptq"],
                         help="serving weight-quality pass: GPTQ error-compensated "

@@ -186,3 +186,43 @@ def test_runner_train_tp_indivisible_falls_back(tmp_path, caplog):
     with caplog.at_level(logging.WARNING):
         Diffusion(args, config).train()
     assert any("falling back to pure DP" in r.message for r in caplog.records)
+
+
+def test_sp_train_step_matches_dp():
+    """dp x sp training: image height sharded over 'model', params
+    replicated — loss matches the pure-DP step."""
+    cfg, params, x, _ = _setup()
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 100)
+    tx = optax.adamw(1e-3)
+    key = jax.random.PRNGKey(7)
+
+    # each leg gets its OWN param copy: the train steps donate their state
+    # argument, and replicate() aliases same-sharding buffers across legs
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    mesh_dp = make_mesh(8)
+    st_dp = replicate(mesh_dp, init_train_state(copy(params), tx))
+    step_dp = make_sharded_train_step(mesh_dp, cfg, sched.betas, tx)
+    mesh = make_mesh(8, axes=("data", "model"), shape=(2, 4))
+    st_sp = replicate(mesh, init_train_state(copy(params), tx))
+    step_sp = make_sharded_train_step(mesh, cfg, sched.betas, tx, spatial=True)
+
+    _, loss_dp = step_dp(st_dp, shard_batch(mesh_dp, x), replicate(mesh_dp, key))
+    _, loss_sp = step_sp(st_sp, shard_batch_spatial(mesh, x), replicate(mesh, key))
+    np.testing.assert_allclose(float(loss_sp), float(loss_dp), rtol=1e-5)
+
+    with pytest.raises(ValueError, match="pick one"):
+        make_sharded_train_step(mesh, cfg, sched.betas, tx, spatial=True,
+                                param_specs=unet_param_specs(params))
+
+
+def test_runner_train_with_sp(tmp_path):
+    import os
+
+    from attentiondm_tpu.runners import Diffusion
+
+    from test_runner import make_args, tiny_config
+
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path, sp=4)
+    Diffusion(args, config).train()
+    assert os.path.exists(os.path.join(args.log_path, "ckpt.npz"))
