@@ -397,9 +397,15 @@ def _epi_apply_kernel(dot_ref, epi_ref, temb_ref, stats_ref, gnp_ref, ohT_ref, s
     out_ref[:] = _quant(xn, sq_ref[0:1, :], sq_ref[1:2, :], n)
 
 
-def _pick_block_hw(HW: int, N: int, budget: int = 4 * 1024 * 1024) -> int:
+def _pick_block_hw(HW: int, N: int, budget: int = 2 * 1024 * 1024) -> int:
     """Largest spatial block (multiple of 8 sublanes, dividing HW) whose int32
-    tile fits the budget."""
+    tile fits the budget.
+
+    The budget covers only the int32 input tile; the apply kernel also holds
+    ~2 f32 intermediates of the same block plus Mosaic's input double-buffer,
+    so real scoped VMEM is ~4-5x this number.  4 MB overflowed the 16 MB
+    scoped limit at 256x256 batch 8 (s8 out + f32 temps -> 17.9 MB); 2 MB
+    keeps the whole window under ~10 MB."""
     b = max(8, budget // (4 * N))
     b = min(b, HW)
     while HW % b != 0:

@@ -622,6 +622,23 @@ class Diffusion:
                 else jnp.float32
             )
             step_chunk = getattr(args, "step_chunk", None)
+            # fold-memory advisory: per-step folded int8 weights cost
+            # S x params bytes.  Unchunked (fold-once) is 4-10x faster than
+            # chunked per-call refolding when the fold fits (church measured
+            # 5.25 vs 0.54 img/s, PERFORMANCE.md) — steer users right.
+            n_par = sum(x.size for x in jax.tree_util.tree_leaves(params))
+            fold_gb = len(list(seq)) * n_par / 1e9
+            if step_chunk is None and fold_gb > 8.0:
+                logging.warning(
+                    f"unchunked fold needs ~{fold_gb:.1f} GB of folded int8 "
+                    f"weights (S={len(list(seq))} x {n_par/1e6:.0f}M params) — "
+                    "likely exceeds HBM; consider --step_chunk"
+                )
+            elif step_chunk is not None and fold_gb < 4.0:
+                logging.info(
+                    f"folded weights are only ~{fold_gb:.1f} GB — dropping "
+                    "--step_chunk (fold-once) is typically 4-10x faster here"
+                )
             # superbatch mode (chunked only): fold once per chunk per
             # superbatch, advance the batch through it micro_batch at a time
             micro = None
