@@ -133,3 +133,16 @@ def test_cross_model_comparison(tmp_path):
     import os
     assert os.path.exists(tmp_path / "cross_model_comparison.json")
     assert os.path.exists(tmp_path / "model_comparison_output_ranges.png")
+
+
+def test_serving_sweep_tool_runs_tiny():
+    """tools/serving_sweep drives a tiny grid end-to-end (CPU)."""
+    from attentiondm_tpu.models import UNetConfig
+    from attentiondm_tpu.tools.serving_sweep import sweep
+
+    tiny = UNetConfig(ch=128, ch_mult=(1,), num_res_blocks=1,
+                      attn_resolutions=(8,), resolution=8, dropout=0.0)
+    rows = sweep("cifar10.yml", 2, [2], [None, 2], reps=1, ucfg_override=tiny)
+    # both variants produce a finite rate; winner is whichever
+    assert len(rows) == 2
+    assert all(r["img_per_sec"] > 0 for r in rows)
