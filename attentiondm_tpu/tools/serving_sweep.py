@@ -81,13 +81,23 @@ def sweep(config_name: str, timesteps: int, batches, step_chunks,
                                   "error": str(e)[:160]}), flush=True)
 
     res = {k: [] for k in samplers}
+    dead = set()
     for rep in range(reps):
         for (B, ck), s in samplers.items():
-            x = jax.random.normal(jax.random.PRNGKey(seed + 5 + rep), (B, R, R, 3))
-            t0 = time.perf_counter()
-            v = float(s(x).sum())
-            res[(B, ck)].append(B / (time.perf_counter() - t0))
-            assert np.isfinite(v)
+            if (B, ck) in dead:
+                continue
+            try:
+                x = jax.random.normal(jax.random.PRNGKey(seed + 5 + rep), (B, R, R, 3))
+                t0 = time.perf_counter()
+                v = float(s(x).sum())
+                res[(B, ck)].append(B / (time.perf_counter() - t0))
+                assert np.isfinite(v)
+            except Exception as e:  # run-phase OOM (fragmentation after a
+                # failed neighbor): drop the variant, keep the sweep alive
+                dead.add((B, ck))
+                print(json.dumps({"batch": B, "step_chunk": ck,
+                                  "error": str(e)[:160]}), flush=True)
+    res = {k: v for k, v in res.items() if v and k not in dead}
 
     rows = []
     for (B, ck), vals in res.items():
