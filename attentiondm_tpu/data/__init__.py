@@ -1,4 +1,9 @@
-from .transforms import data_transform, inverse_data_transform, logit_transform
+from .transforms import (
+    data_transform,
+    inverse_data_transform,
+    inverse_transform_uint8_fn,
+    logit_transform,
+)
 from .datasets import (
     get_dataset,
     SyntheticDataset,
@@ -16,6 +21,7 @@ __all__ = [
     "synthetic_batch",
     "data_transform",
     "inverse_data_transform",
+    "inverse_transform_uint8_fn",
     "logit_transform",
     "get_dataset",
     "SyntheticDataset",

@@ -38,3 +38,31 @@ def inverse_data_transform(config, x):
     elif getattr(d, "rescaled", False):
         x = (x + 1.0) / 2.0
     return np.clip(x, 0.0, 1.0)
+
+
+def inverse_transform_uint8_fn(config):
+    """Device-side inverse transform straight to uint8 pixels (jit-able).
+
+    The 50k `--fid` loop pulls every batch through the TPU relay; converting
+    on device shrinks the host transfer 4x (f32 -> uint8) and moves the
+    clip/scale work off the host encode path.  Same formula as
+    `inverse_data_transform` + native.write_png_batch's quantization
+    (clip to [0,1], * 255 + 0.5, truncate).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    d = config.data
+    logit = bool(getattr(d, "logit_transform", False))
+    rescaled = bool(getattr(d, "rescaled", False))
+
+    @jax.jit
+    def fn(x):
+        x = x.astype(jnp.float32)
+        if logit:
+            x = jax.nn.sigmoid(x)
+        elif rescaled:
+            x = (x + 1.0) / 2.0
+        return (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    return fn

@@ -59,12 +59,17 @@ def write_png_batch(images01: np.ndarray, out_dir: str, start_index: int, thread
     """Write [N, H, W, 3] float [0,1] images as <out_dir>/<start_index+i>.png.
 
     Returns the number of images written.  Uses the C++ writer when
-    available, PIL otherwise.
+    available, PIL otherwise.  uint8 input is taken as already-quantized
+    pixels (the device-side fast path, data/transforms.py
+    inverse_transform_uint8_fn) and passed through untouched.
     """
     os.makedirs(out_dir, exist_ok=True)
-    imgs = np.ascontiguousarray(
-        (np.clip(images01, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-    )
+    if images01.dtype == np.uint8:
+        imgs = np.ascontiguousarray(images01)
+    else:
+        imgs = np.ascontiguousarray(
+            (np.clip(images01, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        )
     n, h, w, c = imgs.shape
     assert c == 3, "PNG batch writer expects RGB"
     lib = _load()

@@ -284,6 +284,7 @@ def compute_weight_extras(
     adaround_max_wbit: int = 6,
     bias_correct: bool = True,
     method: str = "adaround",
+    rank1: bool = False,
     progress=None,
 ) -> Dict[str, WeightExtras]:
     """Full pipeline: collect stats on the calibration trajectory, then run
@@ -299,6 +300,10 @@ def compute_weight_extras(
 
     `qstates` provide the per-step activation scales; the fold-equivalent
     mean scale (same as _fold_all_steps' shrink search) anchors the grid.
+
+    `rank1` anchors the grid on the rank-1 factor u[c] instead
+    (quant/rank1.py): with step-SHARED folds the deployed grid is exactly the
+    u grid at every step, so offsets optimized here apply without drift.
     """
     from .int8_runtime import _eligible
     from .state import mixed_ranges
@@ -331,7 +336,12 @@ def compute_weight_extras(
     out: Dict[str, WeightExtras] = {}
     for name in names:
         pol = qunet.policy[name]
-        scale = mean_scale(qstates[name], pol.a_bit)
+        if rank1:
+            from .rank1 import rank1_factors
+
+            scale, _m = rank1_factors(qstates[name], pol.a_bit)
+        else:
+            scale = mean_scale(qstates[name], pol.a_bit)
         shrink = fold_shrink_search(kernels[name], scale, pol.w_bit, symmetric)
         offs = None
         if pol.w_bit <= adaround_max_wbit:

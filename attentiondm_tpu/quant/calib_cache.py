@@ -57,6 +57,9 @@ def _meta_of(args, seq, model_sig=None) -> dict:
         "stage2_mode": getattr(args, "stage2_mode", "reference"),
         # a cache without attention ranges must not serve an --attn_int8 run
         "attn_int8": bool(getattr(args, "attn_int8", False)),
+        # shared-fold extras are anchored on the rank-1 u grid (quant/rank1.py)
+        # — they must not serve a per-step-fold run, and vice versa
+        "shared_fold": bool(getattr(args, "shared_fold", False)),
         "model": model_sig,
     }
 

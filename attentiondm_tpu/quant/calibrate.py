@@ -380,6 +380,7 @@ def serving_surrogate_apply(
     s,
     *,
     symmetric: bool = True,
+    rank1: bool = False,
 ):
     """Differentiable forward matching quant/int8_serving's numerics.
 
@@ -388,9 +389,17 @@ def serving_surrogate_apply(
     per-step fold, ops/quant_conv.fold_weights_int8 semantics incl. AdaRound
     offsets, pinned shrink, and the bias-correction term).  Ineligible convs
     follow the serving fallback (fake-quant act, raw weights).
+
+    `rank1` mirrors the step-SHARED fold (quant/rank1.py +
+    int8_runtime._fold_all_steps rank1 branch): eligible convs quantize
+    activations at the rank-1 scales with re-centered zero points and the
+    weight grid anchors on the step-independent u factor, so parameters
+    optimized through this surrogate transfer 1:1 to the shared-fold serving
+    engine.
     """
     from ..quant.primitives import ste_floor, ste_round
     from .int8_runtime import _eligible
+    from .rank1 import rank1_factors, rank1_scale_zp
     from .state import mixed_ranges
 
     def conv_apply(name, xin, p, *, stride=1, padding="SAME"):
@@ -399,21 +408,29 @@ def serving_surrogate_apply(
         st = qstates[name]
         pol = qunet.policy[name]
         xf = xin.astype(jnp.float32)
-        rmin, rmax = mixed_ranges(st, s)
+        kernel = p["kernel"].astype(jnp.float32)
         n_lv = 2**pol.a_bit - 1
         na = 2 ** (pol.a_bit - 1)
-        scale = n_lv / (rmax - rmin)
-        zp = jnp.round(scale * rmin) + na
+        eligible = stride == 1 and _eligible(kernel.shape)
+        u = mfac = None
+        if rank1 and eligible:
+            u, mfac = rank1_factors(st, pol.a_bit)
+            scale_all, zp_all = rank1_scale_zp(st, pol.a_bit, u, mfac)
+            scale, zp = scale_all[s], zp_all[s]
+        else:
+            rmin, rmax = mixed_ranges(st, s)
+            scale = n_lv / (rmax - rmin)
+            zp = jnp.round(scale * rmin) + na
         q = jnp.clip(ste_round(scale * xf - zp), -na, na - 1)
         x_hat = (q + zp) / scale
 
-        kernel = p["kernel"].astype(jnp.float32)
         ex = weight_extras.get(name) if weight_extras else None
-        if stride != 1 or not _eligible(kernel.shape) or ex is None or ex.shrink is None:
+        if not eligible or ex is None or ex.shrink is None:
             return conv2d(x_hat, p, stride=stride, padding=padding)
 
         kh, kw, ci, co = kernel.shape
-        g = kernel / scale.reshape(1, 1, ci, 1)
+        grid_scale = u if u is not None else scale
+        g = kernel / grid_scale.reshape(1, 1, ci, 1)
         nw = 2 ** (pol.w_bit - 1)
         # the one true grid (ops/quant_conv.weight_grid), differentiably
         ws, wzp = weight_grid(g, pol.w_bit, symmetric, ex.shrink)
@@ -423,6 +440,8 @@ def serving_surrogate_apply(
         else:
             gq = jnp.clip(ste_round(base), -nw, nw - 1)
         g_hat = (gq + wzp) / ws
+        if mfac is not None:
+            g_hat = g_hat / mfac[s]  # shared grid decodes at step s
         if ex.out_mult is not None:
             om = ex.out_mult if ex.out_mult.ndim == 1 else ex.out_mult[s]
             g_hat = g_hat * om
@@ -434,7 +453,8 @@ def serving_surrogate_apply(
             bias = p["bias"] + bd
         out = conv2d(x_hat, {"kernel": w_hat, "bias": bias}, stride=stride, padding=padding)
         if ex.mu is not None:
-            corr = ex.mu @ (g.reshape(kh * kw * ci, co) - g_hat.reshape(kh * kw * ci, co))
+            g_step = kernel / scale.reshape(1, 1, ci, 1)
+            corr = ex.mu @ (g_step.reshape(kh * kw * ci, co) - g_hat.reshape(kh * kw * ci, co))
             out = out + corr
         return out
 
@@ -461,6 +481,7 @@ def calibrate_teacher_matched(
     train_range_scale: bool = True,
     serving_extras=None,
     symmetric: bool = True,
+    rank1: bool = False,
 ):
     """Distillation-objective stage 2: optimize the activation-quantization
     parameters to minimize ||eps_q - eps_fp32||^2 on the teacher's OWN
@@ -540,7 +561,7 @@ def calibrate_teacher_matched(
                 if use_extras:
                     et = serving_surrogate_apply(
                         qunet, p, qs, extras_, x_s, t_vec, s,
-                        symmetric=symmetric,
+                        symmetric=symmetric, rank1=rank1,
                     )
                 else:
                     et = qunet.apply(p, qs, x_s, t_vec, s, mode="infer")
@@ -601,6 +622,7 @@ def refine_weight_extras(
     train_mult: bool = True,
     train_bias: bool = True,
     symmetric: bool = True,
+    rank1: bool = False,
     per_step: bool = False,
     inner: int = 24,
     chunk: int | None = None,
@@ -691,7 +713,7 @@ def refine_weight_extras(
         ex2 = apply_theta_on(ex_, th)
         t_vec = jnp.full((n,), t_i, jnp.float32)
         et = serving_surrogate_apply(qunet, p, qs_, ex2, x_s, t_vec, s,
-                                     symmetric=symmetric)
+                                     symmetric=symmetric, rank1=rank1)
         return jnp.mean(jnp.square(et - e_s)) / jnp.mean(jnp.square(e_s))
 
     opt = optax.adam(lr)

@@ -50,11 +50,13 @@ def _eligible(kernel_shape, stride=1):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("a_bit", "w_bit", "symmetric", "mse_search"))
+@functools.partial(
+    jax.jit, static_argnames=("a_bit", "w_bit", "symmetric", "mse_search", "rank1")
+)
 def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int,
                     symmetric: bool = True, mse_search: bool = True,
                     round_offset=None, input_mu=None, shrink=None,
-                    out_mult=None, bias_delta=None):
+                    out_mult=None, bias_delta=None, rank1: bool = False):
     """Fold + quantize one conv's weights for every sampler step.
 
     jit-cached by (kernel shape, S, bits) so the ~6 distinct conv shapes in a
@@ -78,7 +80,15 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int,
     — the decoded weight scales by out_mult per output channel (ws /= m, so
     the int8 grid is untouched) and the epilogue constant shifts by
     bias_delta; 2-D variants carry an independent correction per sampler
-    step (the fold is per-step anyway, so this is runtime-free)."""
+    step (the fold is per-step anyway, so this is runtime-free).
+
+    `rank1=True` constrains the activation scales to the step-factorized
+    rank-1 form s'[t, c] = m[t] * u[c] (quant/rank1.py) and quantizes the
+    weights ONCE on the u grid: returns gq with a SINGLETON step axis
+    ([1, K, Np] — step-shared; quant/int8_serving.gather_step broadcasts it)
+    while the per-step dequant vectors and activation params stay [S, ...].
+    Symmetric only (an asymmetric grid's rounded zero point breaks the
+    scale-invariance that makes the shared fold exact)."""
     kh = kernel.shape[0]
     C = kernel.shape[2]
     co = kernel.shape[3]
@@ -94,6 +104,53 @@ def _fold_all_steps(kernel, group_ranges, alpha_logits, a_bit: int, w_bit: int,
         return scale, zp
 
     S = alpha_logits.shape[0]
+    if rank1:
+        if not symmetric:
+            raise NotImplementedError("rank1 shared folds require symmetric weights")
+        from .rank1 import rank1_factors, rank1_scale_zp
+        from .state import ActQuantState
+
+        st = ActQuantState(
+            init_range=jnp.zeros((S, 2), jnp.float32),
+            act_min=jnp.zeros((S, C), jnp.float32),
+            act_max=jnp.zeros((S, C), jnp.float32),
+            group_ranges=group_ranges,
+            alpha_logits=alpha_logits,
+        )
+        u, m = rank1_factors(st, a_bit)
+        scale_all, zp_all = rank1_scale_zp(st, a_bit, u, m)  # [S, C]
+        if shrink is None and mse_search:
+            shrink = fold_shrink_search(kernel, u, w_bit, symmetric)
+        elif shrink is None:
+            shrink = jnp.ones((co,), kernel.dtype)
+        gq_u, ws_u, _wzp_u, g_hat_u = fold_weights_int8(
+            kernel, u, w_bit, symmetric=True, shrink=shrink,
+            round_offset=round_offset,
+        )
+        Np = gq_u.shape[-1]
+
+        def per_step_consts(s):
+            ws_s = ws_u * m[s]
+            g_hat_s = g_hat_u / m[s]
+            if out_mult is not None:
+                om = out_mult if out_mult.ndim == 1 else out_mult[s]
+                mpad = jnp.pad(om.astype(ws_s.dtype), (0, Np - co), constant_values=1.0)
+                ws_s = ws_s / mpad
+                g_hat_s = g_hat_s * mpad[None, :]
+            zc = zcorr_from_fold(g_hat_s, zp_all[s], kh, C)
+            if input_mu is not None:
+                g = (kernel / (scale_all[s]).reshape(1, 1, C, 1)).reshape(kh * kh * C, co)
+                Cp = g_hat_s.shape[0] // (kh * kh)
+                gh = g_hat_s.reshape(kh * kh, Cp, -1)[:, :C, :co].reshape(kh * kh * C, co)
+                corr = input_mu @ (g - gh)
+                zc = zc.at[:co].add(corr)
+            if bias_delta is not None:
+                bd = bias_delta if bias_delta.ndim == 1 else bias_delta[s]
+                zc = zc.at[:co].add(bd.astype(zc.dtype))
+            return ws_s, jnp.zeros_like(ws_s), zc
+
+        ws, wzp, zc = jax.vmap(per_step_consts)(jnp.arange(S))
+        return gq_u[None], ws, wzp, zc, scale_all, zp_all
     if shrink is not None:
         pass  # pinned shrink from WeightExtras: the grid AdaRound/stage-2 saw
     elif mse_search:

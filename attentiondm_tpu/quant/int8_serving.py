@@ -96,6 +96,8 @@ def prepare_serving_runtime(
     symmetric: bool = True,
     steps: slice | None = None,
     weight_extras=None,
+    pack_int4: bool = False,
+    rank1: bool = False,
 ) -> Dict[str, ServingLayer]:
     """Fold weights for every eligible conv into serving form.
 
@@ -106,6 +108,18 @@ def prepare_serving_runtime(
     rounding offsets and bias-correction means — the W4 quality levers
     (they change the fold only; the serving kernels are untouched).
 
+    `pack_int4` stores each w_bit<=4 layer's folded weights as two nibbles
+    per byte (uint8) — HALF the per-step fold HBM, bit-exact (the scan body
+    unpacks one step's slice before the convs; ~params/2 extra bytes of
+    traffic per step, noise next to the conv reads).  Extends fold-once
+    (PERFORMANCE.md big-model section) to 2x longer schedules.
+
+    `rank1` constrains the activation scales to the step-factorized rank-1
+    form (quant/rank1.py) so the int8 weights are STEP-SHARED: gq is stored
+    once ([1, K, Np]) and fold HBM drops from S x params to params — no
+    `step_chunk` needed at any schedule length.  Mutually exclusive with
+    `steps` (the factorization must see the whole schedule to be consistent).
+
     Only symmetric (zero-point-free) weight folding is supported: ServingLayer
     carries no wzp and `_epilogue` has no rowsum term, so an asymmetric fold
     would silently produce garbage.  Asymmetric weight quantization lives on
@@ -115,6 +129,11 @@ def prepare_serving_runtime(
         raise NotImplementedError(
             "the fused serving path supports symmetric weight folding only; "
             "use quant/int8_runtime.py for asymmetric weight quantization"
+        )
+    if rank1 and steps is not None:
+        raise ValueError(
+            "rank1 shared folds are whole-schedule by construction; drop "
+            "step_chunk (the shared fold is params-sized — chunking buys nothing)"
         )
     runtime: Dict[str, ServingLayer] = {}
     for name, _cin, _k in iter_conv_layers(qunet.cfg):
@@ -140,9 +159,12 @@ def prepare_serving_runtime(
             shrink=None if ex is None else ex.shrink,
             out_mult=None if ex is None else _per_step(ex.out_mult),
             bias_delta=None if ex is None else _per_step(ex.bias_delta),
+            rank1=rank1,
         )
         co = kernel.shape[3]
         Np = gq.shape[-1]
+        if pack_int4 and pol.w_bit <= 4:
+            gq = pack_int4_fn(gq)
         bias = jnp.pad(node["bias"].astype(jnp.float32), (0, Np - co))
         runtime[name] = ServingLayer(
             gq=gq,
@@ -155,8 +177,56 @@ def prepare_serving_runtime(
 
 
 def gather_step(runtime: Dict[str, ServingLayer], step_idx) -> Dict[str, ServingLayer]:
-    """Slice out one sampler step's runtime (dynamic index, jit-safe)."""
-    return jax.tree_util.tree_map(lambda a: a[step_idx], runtime)
+    """Slice out one sampler step's runtime (dynamic index, jit-safe).
+
+    Leaves with a singleton step axis are step-SHARED (the rank-1 fold stores
+    `gq [1, K, Np]` once instead of per step) and gather index 0 statically.
+    """
+    return jax.tree_util.tree_map(
+        lambda a: a[0] if a.shape[0] == 1 else a[step_idx], runtime
+    )
+
+
+# ---------------------------------------------------------------------------
+# int4 nibble packing (per-step fold capacity: 2x less HBM, bit-exact)
+# ---------------------------------------------------------------------------
+
+
+def pack_int4(gq: jax.Array) -> jax.Array:
+    """Pack an int8 array of int4-valued weights ([-8, 7]) along axis -2.
+
+    gq [..., K, Np] int8 -> [..., K//2, Np] uint8 with rows (2j, 2j+1) in the
+    (low, high) nibbles.  K is always even (the fold pads channels to 128).
+    Exact round-trip with `unpack_int4` — packing changes no weight value, so
+    a packed serving run is bit-identical to the unpacked one (tested).
+    """
+    K = gq.shape[-2]
+    assert K % 2 == 0, K
+    r = gq.reshape(gq.shape[:-2] + (K // 2, 2, gq.shape[-1]))
+    lo = jnp.bitwise_and(r[..., 0, :].astype(jnp.uint8), jnp.uint8(0x0F))
+    hi = jnp.left_shift(r[..., 1, :].astype(jnp.uint8), 4)
+    return jnp.bitwise_or(lo, hi)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of `pack_int4`: uint8 [..., Kh, Np] -> int8 [..., 2*Kh, Np].
+
+    Sign extension via (x << 4) >> 4 arithmetic shifts on int8."""
+    pi = packed.astype(jnp.int8)
+    lo = jnp.right_shift(jnp.left_shift(pi, 4), 4)
+    hi = jnp.right_shift(pi, 4)
+    out = jnp.stack([lo, hi], axis=-2)  # [..., Kh, 2, Np]
+    return out.reshape(packed.shape[:-2] + (2 * packed.shape[-2], packed.shape[-1]))
+
+
+# alias: `prepare_serving_runtime` has a keyword named pack_int4
+pack_int4_fn = pack_int4
+
+
+def _unpack_layer(lay: ServingLayer) -> ServingLayer:
+    if lay.gq.dtype == jnp.uint8:
+        return dataclasses.replace(lay, gq=unpack_int4(lay.gq))
+    return lay
 
 
 # ---------------------------------------------------------------------------
@@ -573,7 +643,7 @@ def serving_unet_apply(
     """
     if cfg.attn_variant not in ("ddim", "enhanced"):
         raise NotImplementedError(f"serving path: unknown attn variant {cfg.attn_variant}")
-    rt_i = gather_step(runtime, step_idx)
+    rt_i = {k: _unpack_layer(v) for k, v in gather_step(runtime, step_idx).items()}
     ar_i = None if attn_ranges is None else jax.tree_util.tree_map(lambda a: a[step_idx], attn_ranges)
     num_levels = len(cfg.ch_mult)
 
@@ -703,6 +773,8 @@ def serving_ddim_sampler(
     attn_ranges=None,
     weight_extras=None,
     boundary_fusion: bool = False,
+    pack_int4: bool = False,
+    rank1: bool = False,
 ):
     """Build a jitted DDIM sampler over the fused int8 serving path.
 
@@ -729,6 +801,11 @@ def serving_ddim_sampler(
     """
     from ..diffusion.sampling import _seq_alphas
 
+    if rank1 and step_chunk is not None:
+        raise ValueError(
+            "rank1 shared folds make step_chunk unnecessary (fold HBM is "
+            "params-sized at any schedule length) — drop one of the two"
+        )
     t_rev, _, at, at_next = _seq_alphas(betas, seq)
     S = t_rev.shape[0]
 
@@ -758,7 +835,8 @@ def serving_ddim_sampler(
 
     if step_chunk is None:
         runtime = prepare_serving_runtime(
-            qunet, params, qstates, symmetric=symmetric, weight_extras=weight_extras
+            qunet, params, qstates, symmetric=symmetric, weight_extras=weight_extras,
+            pack_int4=pack_int4, rank1=rank1,
         )
 
         def sample(x, key=None):
@@ -781,7 +859,7 @@ def serving_ddim_sampler(
             sl = slice(c0, c1)
             rt = prepare_serving_runtime(
                 qunet, params, qstates, symmetric=symmetric, steps=sl,
-                weight_extras=weight_extras,
+                weight_extras=weight_extras, pack_int4=pack_int4,
             )
             qs = _slice_states(qstates, sl)
             ar = None if attn_ranges is None else jax.tree_util.tree_map(lambda a: a[sl], attn_ranges)

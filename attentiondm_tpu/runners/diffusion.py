@@ -32,7 +32,13 @@ from ..quant import (
     select_calibration_images,
 )
 from ..training import get_optimizer, init_train_state, make_sharded_train_step
-from ..data import get_dataset, data_transform, inverse_data_transform, iterate_batches
+from ..data import (
+    get_dataset,
+    data_transform,
+    inverse_data_transform,
+    inverse_transform_uint8_fn,
+    iterate_batches,
+)
 from ..utils import save_image, save_image_grid, MetricsLogger
 from .. import checkpoint as ckpt_io
 
@@ -382,6 +388,7 @@ class Diffusion:
                 adaround_max_wbit=0 if weight_opt == "biascorr" else 6,
                 bias_correct=True,
                 method="gptq" if weight_opt == "gptq" else "adaround",
+                rank1=bool(getattr(args, "shared_fold", False)),
             )
             n_ar = sum(1 for e in self.weight_extras.values() if e.round_offset is not None)
             logging.info(
@@ -405,6 +412,7 @@ class Diffusion:
                 lr=float(getattr(args, "stage2_lr", 0.02) or 0.02),
                 epochs=int(getattr(args, "calib_epochs", 1) or 1) * 4,
                 serving_extras=extras,
+                rank1=bool(extras) and bool(getattr(args, "shared_fold", False)),
             )
             logging.info(
                 f"stage-2 (teacher-matched{', serving-fold semantics' if extras else ''}) "
@@ -456,6 +464,7 @@ class Diffusion:
             self.weight_extras, _tr = refine_weight_extras(
                 qunet, params, qstates, self.weight_extras, xs_inputs, eps_ref,
                 seq, per_step=(refine_mode == "perstep"),
+                rank1=bool(getattr(args, "shared_fold", False)),
             )
             logging.info(
                 f"weight refinement ({refine_mode}) done in {time.time()-t0:.1f}s"
@@ -622,17 +631,28 @@ class Diffusion:
                 else jnp.float32
             )
             step_chunk = getattr(args, "step_chunk", None)
+            shared_fold = bool(getattr(args, "shared_fold", False))
+            pack = bool(getattr(args, "pack_int4", False))
+            if shared_fold and step_chunk is not None:
+                logging.warning(
+                    "--shared_fold stores ONE step-shared int8 weight tensor "
+                    "(fold HBM = params) — dropping --step_chunk"
+                )
+                step_chunk = None
             # fold-memory advisory: per-step folded int8 weights cost
-            # S x params bytes.  Unchunked (fold-once) is 4-10x faster than
+            # S x params bytes (halved by --pack_int4 at w_bit<=4; just params
+            # with --shared_fold).  Unchunked (fold-once) is 4-10x faster than
             # chunked per-call refolding when the fold fits (church measured
             # 5.25 vs 0.54 img/s, PERFORMANCE.md) — steer users right.
             n_par = sum(x.size for x in jax.tree_util.tree_leaves(params))
-            fold_gb = len(list(seq)) * n_par / 1e9
+            per_step_bytes = n_par / 2 if (pack and args.bitwidth <= 4) else n_par
+            fold_gb = (1 if shared_fold else len(list(seq))) * per_step_bytes / 1e9
             if step_chunk is None and fold_gb > 8.0:
                 logging.warning(
                     f"unchunked fold needs ~{fold_gb:.1f} GB of folded int8 "
                     f"weights (S={len(list(seq))} x {n_par/1e6:.0f}M params) — "
-                    "likely exceeds HBM; consider --step_chunk"
+                    "likely exceeds HBM; consider --shared_fold (fold-once at "
+                    "any schedule), --pack_int4 (2x at w<=4), or --step_chunk"
                 )
             elif step_chunk is not None and fold_gb < 4.0:
                 logging.info(
@@ -653,6 +673,8 @@ class Diffusion:
                 attn_int8=attn_int8,
                 attn_ranges=getattr(self, "attn_ranges", None) if attn_int8 else None,
                 weight_extras=getattr(self, "weight_extras", None),
+                pack_int4=pack,
+                rank1=shared_fold,
             )
             desc = (
                 f"serving-int8 W{args.bitwidth}"
@@ -661,6 +683,8 @@ class Diffusion:
                 + ("/attn-int8" if attn_int8 else "")
                 + (f"/{getattr(args, 'weight_opt', 'adaround')}"
                    if getattr(self, "weight_extras", None) else "")
+                + ("/shared-fold" if shared_fold else "")
+                + ("/int4-packed" if pack else "")
             )
             logging.info(f"sampling with {len(list(seq))} steps, model={desc}")
 
@@ -747,15 +771,23 @@ class Diffusion:
             # step_chunk mode bounds folded-weight HBM per chunk; two
             # in-flight batches would double it — stay sequential there
             pipeline = not (serving and getattr(args, "step_chunk", None))
+            # device-side inverse transform straight to uint8: the relay pull
+            # shrinks 4x (f32 -> uint8) and the host encode path skips the
+            # clip/scale pass
+            to_u8 = inverse_transform_uint8_fn(config)
             t0 = time.time()
+
+            def dispatch_u8(n, k):
+                return to_u8(dispatch_batch(n, k))
+
             pending = (
-                dispatch_batch(todo[0][2], todo[0][3]) if todo and pipeline else None
+                dispatch_u8(todo[0][2], todo[0][3]) if todo and pipeline else None
             )
             for j, (iid, n, n_gen, sub) in enumerate(todo):
-                out = pending if pipeline else dispatch_batch(n_gen, sub)
+                out = pending if pipeline else dispatch_u8(n_gen, sub)
                 if pipeline and j + 1 < len(todo):
-                    pending = dispatch_batch(todo[j + 1][2], todo[j + 1][3])
-                imgs = inverse_data_transform(config, jax.device_get(out))[:n]
+                    pending = dispatch_u8(todo[j + 1][2], todo[j + 1][3])
+                imgs = jax.device_get(out)[:n]
                 # multithreaded C++ PNG encode (PIL fallback inside)
                 img_id = iid + write_png_batch(imgs, args.image_folder, iid)
                 rate = (img_id - start) / max(1e-9, time.time() - t0)
@@ -874,6 +906,8 @@ class Diffusion:
                 runtime = prepare_serving_runtime(
                     qunet, params, qstates,
                     weight_extras=getattr(self, "weight_extras", None),
+                    rank1=bool(getattr(args, "shared_fold", False)),
+                    pack_int4=bool(getattr(args, "pack_int4", False)),
                 )
                 mstate = (params, runtime, qstates)
 

@@ -179,6 +179,7 @@ def run_protocol(
     adaround: bool = False,
     adaround_iters: int = 600,
     stage2_teacher: bool = False,
+    shared: bool = False,
 ):
     """Returns {row_name: {"eps_rel_mse_mean", "eps_rel_mse_max", "psnr"[, "kid"]}}.
 
@@ -375,14 +376,16 @@ def run_protocol(
                 serving_unet_apply,
             )
 
-            def serving_row(suffix, qs, extras, res_dtype):
+            def serving_row(suffix, qs, extras, res_dtype, rank1=False):
                 sample = serving_ddim_sampler(
                     qunet, params, qs, seq, sched.betas,
                     residual_dtype=res_dtype, attn_int8=False,
-                    weight_extras=extras,
+                    weight_extras=extras, rank1=rank1,
                 )
                 xf_s = sample(x_init)
-                runtime = prepare_serving_runtime(qunet, params, qs, weight_extras=extras)
+                runtime = prepare_serving_runtime(
+                    qunet, params, qs, weight_extras=extras, rank1=rank1
+                )
 
                 @functools.partial(jax.jit, static_argnums=())
                 def eps_serving(p, rt, qs_, xs):
@@ -455,6 +458,23 @@ def run_protocol(
                     per_step=True,
                 )
                 serving_row("_gptq_refine", qstates, extras_gps, jnp.float32)
+                if shared:
+                    # step-SHARED rank-1 fold (quant/rank1.py): the production
+                    # ladder with gq stored once — quality cost of the rank-1
+                    # activation-scale constraint, before and after the
+                    # per-step refinement that absorbs its systematic residue
+                    extras_sh = compute_weight_extras(
+                        qunet, params, qstates, xs_cal, seq, method="gptq",
+                        rank1=True,
+                    )
+                    serving_row("_gptq_shared", qstates, extras_sh,
+                                jnp.float32, rank1=True)
+                    extras_shps, _ = refine_weight_extras(
+                        qunet, params, qstates, extras_sh, xs_cal, eps_cal,
+                        seq, per_step=True, rank1=True,
+                    )
+                    serving_row("_gptq_refine_shared", qstates, extras_shps,
+                                jnp.float32, rank1=True)
                 if stage2_teacher:
                     # serving-matched stage 2 ON TOP of AdaRound: ranges
                     # optimized through the exact fold (pinned shrink + h).
@@ -512,6 +532,9 @@ def main():
     ap.add_argument("--adaround_iters", type=int, default=600)
     ap.add_argument("--stage2_teacher", action="store_true",
                     help="add teacher-matched stage-2 rows (_s12t)")
+    ap.add_argument("--shared", action="store_true",
+                    help="add step-SHARED rank-1 fold rows (_gptq_shared / "
+                         "_gptq_refine_shared); requires --adaround")
     ap.add_argument("--bits", type=str, default=None,
                     help="restrict bit configs, e.g. '8:8,4:8' (default: 8:8, 6:6, 4:8)")
     args = ap.parse_args()
@@ -537,7 +560,7 @@ def main():
         stage0=args.stage0, attribution=args.attribution, kid=args.kid,
         stage2_epochs=args.stage2_epochs,
         adaround=args.adaround, adaround_iters=args.adaround_iters,
-        stage2_teacher=args.stage2_teacher, **kw,
+        stage2_teacher=args.stage2_teacher, shared=args.shared, **kw,
     )
     print(f"weights: {weights}; DDIM-{args.steps} ({args.skip_type}), batch {args.batch}")
     print(format_table(rows))

@@ -67,10 +67,13 @@ def sweep(config_name: str, timesteps: int, batches, step_chunks,
     for B in batches:
         for ck in step_chunks:
             try:
+                # 'shared' = rank-1 step-shared fold (quant/rank1.py): fold
+                # HBM is params-sized at ANY schedule length, no chunking
                 s = serving_ddim_sampler(
                     qunet, params, qstates, seq, sched.betas,
                     residual_dtype=jnp.bfloat16, attn_int8=attn_int8,
-                    step_chunk=ck,
+                    step_chunk=None if ck == "shared" else ck,
+                    rank1=(ck == "shared"),
                 )
                 x = jax.random.normal(jax.random.PRNGKey(seed + 2), (B, R, R, 3))
                 v = float(s(x).sum())  # compile + fold; host pull = barrier
@@ -119,7 +122,8 @@ def main(argv=None):
     p.add_argument("--batches", default="8,16,32",
                    help="comma-separated batch sizes")
     p.add_argument("--step_chunks", default="none",
-                   help="comma-separated chunk sizes; 'none' = fold-once")
+                   help="comma-separated chunk sizes; 'none' = fold-once; "
+                        "'shared' = rank-1 step-shared fold (params-sized)")
     p.add_argument("--bitwidth", type=int, default=4)
     p.add_argument("--a_bitwidth", type=int, default=8)
     p.add_argument("--skip_type", default="quad")
@@ -127,7 +131,8 @@ def main(argv=None):
     p.add_argument("--attn_int8", action="store_true")
     a = p.parse_args(argv)
     batches = [int(b) for b in a.batches.split(",")]
-    chunks = [None if c.strip().lower() in ("none", "0") else int(c)
+    chunks = [None if c.strip().lower() in ("none", "0")
+              else ("shared" if c.strip().lower() == "shared" else int(c))
               for c in a.step_chunks.split(",")]
     sweep(a.config, a.timesteps, batches, chunks, w_bit=a.bitwidth,
           a_bit=a.a_bitwidth, skip_type=a.skip_type, reps=a.reps,

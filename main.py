@@ -92,6 +92,16 @@ def parse_args_and_config():
                         help="serving+step_chunk only: generate this many images per "
                              "sampler pass, advanced micro-batch-wise through each "
                              "weight-fold chunk (amortizes fold work on 50k runs)")
+    parser.add_argument("--shared_fold", action="store_true",
+                        help="serving only: constrain activation scales to the "
+                             "step-factorized rank-1 form (quant/rank1.py) so the "
+                             "folded int8 weights are STEP-SHARED — fold HBM drops "
+                             "from S x params to params, making --step_chunk "
+                             "unnecessary at any schedule length (fold-once speed "
+                             "for every model/schedule; quality via the protocol)")
+    parser.add_argument("--pack_int4", action="store_true",
+                        help="serving only: store w_bit<=4 folded weights as two "
+                             "nibbles per byte — half the fold HBM, bit-exact")
     parser.add_argument("--tp", type=int, default=1,
                         help="training: tensor-parallel degree (Megatron-paired UNet "
                              "shardings over a (data, model) mesh; must divide the "

@@ -372,3 +372,40 @@ def test_chunked_sampler_slices_per_step_extras():
     np.testing.assert_allclose(
         np.asarray(full(x)), np.asarray(chunked(x)), rtol=1e-5, atol=1e-6
     )
+
+
+def test_pack_int4_roundtrip():
+    from attentiondm_tpu.quant.int8_serving import pack_int4, unpack_int4
+
+    gq = jax.random.randint(jax.random.PRNGKey(0), (3, 256, 128), -8, 8, jnp.int8)
+    packed = pack_int4(gq)
+    assert packed.dtype == jnp.uint8 and packed.shape == (3, 128, 128)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), np.asarray(gq))
+
+
+def test_packed_serving_bit_identical():
+    """int4 nibble packing changes no weight value: packed sampling output
+    must be BIT-identical to the unpacked per-step fold at w_bit<=4."""
+    from attentiondm_tpu.diffusion import DiffusionSchedule
+    from attentiondm_tpu.models import UNetConfig, unet_init
+    from attentiondm_tpu.quant import QuantizedUNet, calibrate_ranges
+
+    cfg = UNetConfig(ch=128, ch_mult=(1,), num_res_blocks=1, attn_resolutions=(8,),
+                     resolution=8, dropout=0.0)
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    qunet = QuantizedUNet.create(cfg, 4, 8)  # W4A8: every eligible layer packs
+    qstates = qunet.init_state(3)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (3, 2, 8, 8, 3))
+    seq = [0, 400, 800]
+    qstates = calibrate_ranges(qunet, params, qstates, xs, seq, first=True)
+    rt = prepare_serving_runtime(qunet, params, qstates)
+    rt_p = prepare_serving_runtime(qunet, params, qstates, pack_int4=True)
+    assert all(lay.gq.dtype == jnp.uint8 for lay in rt_p.values())
+    assert all(
+        rt_p[n].gq.shape[-2] * 2 == rt[n].gq.shape[-2] for n in rt
+    )
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3))
+    a = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas)(x)
+    b = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas, pack_int4=True)(x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

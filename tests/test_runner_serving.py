@@ -254,3 +254,54 @@ def test_test_cache_with_attn_int8_carries_ranges(tmp_path):
     out = load_calibration(cache, args, [int(s) for s in runner.make_seq()],
                            model_sig=str(runner.ucfg))
     assert out is not None and out["attn_ranges"], "cache lacks attention ranges"
+
+
+def test_serving_shared_fold_runs(tmp_path):
+    """--shared_fold drives the rank-1 step-shared fold through sample():
+    the production ladder (gptq + perstep refine) on the shared grid."""
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path, shared_fold=True, weight_opt="gptq",
+                     weight_refine="perstep", bitwidth=4, a_bitwidth=8)
+    runner = Diffusion(args, config)
+    runner.sample()
+    assert os.path.exists(os.path.join(args.image_folder, "grid.png"))
+    assert runner.weight_extras is not None
+
+
+def test_shared_fold_drops_step_chunk_with_warning(tmp_path, caplog):
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path, shared_fold=True, step_chunk=2, weight_opt="off")
+    with caplog.at_level(logging.WARNING):
+        Diffusion(args, config).sample()
+    assert any("shared_fold" in r.message for r in caplog.records)
+    assert os.path.exists(os.path.join(args.image_folder, "grid.png"))
+
+
+def test_serving_pack_int4_runs(tmp_path):
+    config = tiny_config(tmp_path)
+    args = make_args(tmp_path, pack_int4=True, bitwidth=4, a_bitwidth=8,
+                     weight_opt="off")
+    Diffusion(args, config).sample()
+    assert os.path.exists(os.path.join(args.image_folder, "grid.png"))
+
+
+def test_calib_cache_keys_on_shared_fold(tmp_path):
+    """Shared-fold extras anchor on the rank-1 u grid — a per-step cache must
+    not serve a --shared_fold run."""
+    from attentiondm_tpu.diffusion import make_timestep_seq
+    from attentiondm_tpu.quant.calib_cache import load_calibration
+
+    config = tiny_config(tmp_path)
+    cache = os.path.join(str(tmp_path), "sf.npz")
+    args = make_args(tmp_path, calib_cache=cache, weight_opt="off")
+    Diffusion(args, config).sample()
+    assert os.path.exists(cache)
+    seq = make_timestep_seq(
+        config.diffusion.num_diffusion_timesteps, args.timesteps, args.skip_type
+    )
+    hit_args = make_args(tmp_path, calib_cache=cache, weight_opt="off")
+    sig = str(Diffusion(hit_args, config).ucfg)
+    assert load_calibration(cache, hit_args, seq, model_sig=sig) is not None
+    miss_args = make_args(tmp_path, calib_cache=cache, weight_opt="off",
+                          shared_fold=True)
+    assert load_calibration(cache, miss_args, seq, model_sig=sig) is None
