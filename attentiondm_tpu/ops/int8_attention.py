@@ -417,7 +417,7 @@ def _attn_block_kernel(
     oq = _quant(av.reshape(bb * L, C), sqo_ref[0:1, :], sqo_ref[1:2, :], n_o)
     dot_o = jnp.dot(oq, wo_ref[:], preferred_element_type=jnp.int32)
     out = dot_o.astype(jnp.float32) * sqo_ref[2:3, :] + sqo_ref[3:4, :]
-    o_ref[:] = x + out.reshape(bb, L, C)
+    o_ref[:] = (x + out.reshape(bb, L, C)).astype(o_ref.dtype)
 
 
 FUSED_ATTN_VMEM_BUDGET = 6 * 1024 * 1024
@@ -434,7 +434,7 @@ def fused_attention_block_fits(L: int, C: int) -> bool:
 
 
 def fused_attention_block(
-    x: jax.Array,  # [B, L, C] f32 residual stream
+    x: jax.Array,  # [B, L, C] residual stream (f32 or bf16)
     gn_scale, gn_bias,
     qkv_quant,  # [(act_scale [C], act_zp [C], a_bit)] * 3 for q, k, v
     qkv_weights,  # [(gq [C, C] int8, inv_ws [C], zcbias [C])] * 3
@@ -445,11 +445,19 @@ def fused_attention_block(
     groups: int = 32,
     interpret: bool | None = None,
 ):
-    """Whole DDIM attention block in ONE HBM pass: reads the residual f32,
-    writes residual + attention f32.  Component ablation measured the
-    unfused chain (GN entry + 3 int32 epilogues + quantize + out conv) at
-    ~8.5 ms/step of the CIFAR serving sampler while the softmax core itself
-    was free — this kernel removes every intermediate HBM round trip.
+    """Whole DDIM attention block in ONE HBM pass: reads the residual,
+    writes residual + attention at the residual's own dtype.  Component
+    ablation measured the unfused chain (GN entry + 3 int32 epilogues +
+    quantize + out conv) at ~8.5 ms/step of the CIFAR serving sampler while
+    the softmax core itself was free — this kernel removes every
+    intermediate HBM round trip.
+
+    The kernel is dtype-polymorphic over the residual stream: a bf16 input
+    block casts to f32 in registers after the VMEM load and the output
+    rounds once on the store — bit-identical to the old convert-to-f32-
+    outside pattern (bf16 values are exactly f32-representable), but the
+    materialized f32 copy XLA cannot fuse into an opaque pallas_call (a
+    full read+write round trip per attention site) never exists.
 
     Requires C % 128 == 0, the folded weights unpadded (Np == C), and
     bb*(6*L*C*4 + L*L*4) to fit VMEM; callers fall back to the composed path
@@ -511,7 +519,7 @@ def fused_attention_block(
             pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, L, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, C), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=Bp * (8 * L * C * C + 4 * L * L * C + 20 * L * C),
             bytes_accessed=Bp * L * C * 8 + 4 * C * C,

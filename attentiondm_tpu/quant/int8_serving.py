@@ -521,9 +521,12 @@ def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_
             and all(l.gq.shape == (C, C) for l in lays)
         )
         if fits:
-
+            # the residual enters the kernel at its own dtype (bf16 stream:
+            # no materialized f32 copy before the opaque pallas_call) and the
+            # kernel writes res_dtype directly — bit-identical to casting
+            # outside, ~4 full-tensor HBM passes fewer per attention site
             out_res = fused_attention_block(
-                hf.reshape(B, L, C),
+                h_res.astype(res_dtype).reshape(B, L, C),
                 p["norm"]["scale"], p["norm"]["bias"],
                 [(l.act_scale, l.act_zp, pol.a_bit) for l, pol in zip(lays[:3], pols[:3])],
                 [(l.gq, l.inv_ws, l.zcbias) for l in lays[:3]],
@@ -531,7 +534,7 @@ def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_
                 (lo.gq, lo.inv_ws, lo.zcbias),
                 scale=C ** -0.5,
             )
-            return out_res.reshape(B, H, W, C).astype(res_dtype)
+            return out_res.reshape(B, H, W, C)
         qp = [(l.act_scale, l.act_zp, pol.a_bit) for l, pol in zip(lays[:3], pols[:3])]
         hq, hk, hv = gn_act_quant_xla(hf, p["norm"], qp, act="none")
         if attn_int8 and lq.zcbias.shape[-1] == C:
@@ -729,9 +732,25 @@ def serving_unet_apply(
                 h = attn_site(f"up.{i_level}.attn.{i_block}", lp["attn"][i_block], h)
         if i_level != 0:
             B_, H_, W_, C_ = h.shape
-            h = jax.image.resize(h, (B_, 2 * H_, 2 * W_, C_), method="nearest")
-            if cfg.resamp_with_conv:
-                h = conv_site(f"up.{i_level}.upsample.conv", h).astype(residual_dtype)
+            nm = f"up.{i_level}.upsample.conv"
+            lay = rt_i.get(nm) if cfg.resamp_with_conv else None
+            if lay is not None:
+                # int8-domain nearest upsample: quantize at LOW res, then
+                # duplicate int8 entries.  Nearest-neighbor resize commutes
+                # exactly with per-channel quantization (q(resize(h)) ==
+                # resize(q(h)) element-for-element), so this is bit-identical
+                # to resize-then-quantize while the full-size f32 tensor and
+                # its quantize pass never touch HBM.
+                pol = qunet.policy[nm]
+                co = _lookup(params, nm)["kernel"].shape[3]
+                xq = _quant_i8(h.astype(jnp.float32), lay.act_scale, lay.act_zp, pol.a_bit)
+                xq = jnp.repeat(jnp.repeat(xq, 2, axis=1), 2, axis=2)
+                dot = int8_conv3_qzero(xq, lay.act_zp, pol.a_bit, lay.gq)
+                h = _epilogue(dot, lay, co).astype(residual_dtype)
+            else:
+                h = jax.image.resize(h, (B_, 2 * H_, 2 * W_, C_), method="nearest")
+                if cfg.resamp_with_conv:
+                    h = conv_site(nm, h).astype(residual_dtype)
     assert not hs
 
     # norm_out -> swish -> conv_out (conv_out is eligible at ci>=64)

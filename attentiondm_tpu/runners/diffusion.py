@@ -235,26 +235,48 @@ class Diffusion:
             place_batch = lambda x: shard_batch_spatial(mesh, x)
         else:
             place_batch = lambda x: shard_batch(mesh, x)
+        # the loss pull is deferred by one step: `float(loss)` blocks until
+        # the device finishes, so pulling the PREVIOUS step's loss while the
+        # current one runs keeps host batch assembly + logging overlapped
+        # with device compute (JAX async dispatch).  `workers` threads
+        # prefetch batches (reference DataLoader num_workers parity,
+        # runners/diffusion.py:104-108).
+        pending = None
+
+        def flush(p):
+            if p is None:
+                return
+            p_step, p_loss, p_dt, p_epoch = p
+            p_loss = float(p_loss)
+            logging.info(f"step: {p_step}, loss: {p_loss:.5f}, data time: {p_dt:.3f}")
+            logger.log(p_step, loss=p_loss, data_s=round(p_dt, 4), epoch=p_epoch)
+            tb_logger.add_scalar("loss", p_loss, p_step)
+
+        workers = int(getattr(config.data, "num_workers", 0) or 0)
         for epoch in range(config.training.n_epochs):
             t_data = time.time()
-            for x, _y in iterate_batches(train_ds, batch, seed=args.seed + epoch):
+            for x, _y in iterate_batches(
+                train_ds, batch, seed=args.seed + epoch, workers=workers
+            ):
                 data_time = time.time() - t_data
                 x = data_transform(config, x, rng)
                 key, sub = jax.random.split(key)
                 state, loss = step_fn(state, place_batch(x), replicate(mesh, sub))
                 step += 1
-                loss = float(loss)
-                logging.info(f"step: {step}, loss: {loss:.5f}, data time: {data_time:.3f}")
-                logger.log(step, loss=loss, data_s=round(data_time, 4), epoch=epoch)
-                tb_logger.add_scalar("loss", loss, step)
+                flush(pending)
+                pending = (step, loss, data_time, epoch)
                 if step % config.training.snapshot_freq == 0 or step == 1:
+                    flush(pending)
+                    pending = None
                     ckpt_io.save_checkpoint(
                         os.path.join(args.log_path, f"ckpt_{step}.npz"), state
                     )
                     ckpt_io.save_checkpoint(ckpt_path, state)
                 if step >= config.training.n_iters:
+                    flush(pending)
                     return
                 t_data = time.time()
+        flush(pending)
 
     # ------------------------------------------------------------------
     # calibration pipeline (3 stages; anti-D2)

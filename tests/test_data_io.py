@@ -45,6 +45,38 @@ def test_synthetic_dataset_and_loader():
     np.testing.assert_array_equal(batches[0][0], b2[0][0])
 
 
+def test_prefetch_loader_matches_sync():
+    """workers=N must produce byte-identical batches to workers=0, for any
+    worker/prefetch depth (whole-batch jobs consumed in submission order)."""
+    ds = SyntheticDataset(37, 8)
+    sync = list(iterate_batches(ds, 8, seed=3))
+    for workers, prefetch in ((1, None), (3, 1), (4, 8)):
+        got = list(iterate_batches(ds, 8, seed=3, workers=workers, prefetch=prefetch))
+        assert len(got) == len(sync)
+        for (xs, ys), (xg, yg) in zip(sync, got):
+            np.testing.assert_array_equal(xs, xg)
+            np.testing.assert_array_equal(ys, yg)
+
+
+def test_prefetch_loader_propagates_errors_and_closes():
+    class Flaky:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            if i == 17:
+                raise ValueError("boom")
+            return np.zeros((4, 4, 3), np.float32), 0
+
+    with pytest.raises(ValueError, match="boom"):
+        # shuffle off so the failing index lands deterministically
+        list(iterate_batches(Flaky(), 8, shuffle=False, workers=2))
+    # early close must not deadlock the executor join
+    it = iterate_batches(SyntheticDataset(64, 8), 8, seed=0, workers=2)
+    next(it)
+    it.close()
+
+
 def test_cifar10_reader(tmp_path):
     # construct a minimal fake cifar batch layout
     import pickle

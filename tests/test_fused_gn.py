@@ -189,6 +189,24 @@ def test_fused_attention_block_matches_composed():
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
+    # bf16 residual stream: the kernel is dtype-polymorphic — a bf16 input
+    # (values exactly f32-representable) must produce EXACTLY the f32 result
+    # rounded once to bf16, i.e. bit-identical to the old cast-outside
+    # pattern the serving path used before round 3.
+    xb = x.astype(jnp.bfloat16)
+    got_b = fused_attention_block(
+        xb, gn_scale, gn_bias, qkv_quant, qkv_weights, o_quant, o_weights,
+        scale=C ** -0.5, interpret=True,
+    )
+    assert got_b.dtype == jnp.bfloat16
+    want_b = fused_attention_block(
+        xb.astype(jnp.float32), gn_scale, gn_bias, qkv_quant, qkv_weights,
+        o_quant, o_weights, scale=C ** -0.5, interpret=True,
+    ).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(got_b, dtype=np.float32), np.asarray(want_b, dtype=np.float32)
+    )
+
 
 def test_epilogue_blocked_matches_reference_large_hw():
     """Spatially-blocked two-pass epilogue (256x256-class shapes) must match

@@ -64,6 +64,45 @@ def test_serving_bf16_residual_close_to_f32():
     assert rel < 0.05, rel
 
 
+def test_serving_int8_upsample_matches_interception():
+    """Two-level UNet: the up-path int8-domain nearest upsample (quantize at
+    low res, duplicate int8 entries) must stay equivalent to the interception
+    path, which resizes f32 then quantizes — nearest resize commutes exactly
+    with per-channel quantization."""
+    cfg = UNetConfig(
+        ch=128, ch_mult=(1, 1), num_res_blocks=1, attn_resolutions=(),
+        resolution=8, dropout=0.0,
+    )
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    qunet = QuantizedUNet.create(cfg, 8)
+    steps = 2
+    qstates = qunet.init_state(steps)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (steps, 2, 8, 8, 3))
+    seq = list(np.linspace(0, 900, steps).astype(int))
+    qstates = calibrate_ranges(qunet, params, qstates, xs, seq, first=True)
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    assert "up.1.upsample.conv" in runtime  # the int8 upsample branch engages
+
+    x, t = xs[0], jnp.full((2,), 5.0)
+    want = int8_model_fn(qunet, prepare_int8_runtime(qunet, params, qstates), params, qstates)(
+        x, t, jnp.asarray(0)
+    )
+    got = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(x, t, jnp.asarray(0))
+    rel = float(jnp.abs(got - want).mean() / (jnp.abs(want).mean() + 1e-9))
+    assert rel < 0.02, rel
+
+    # the commutation itself, exactly: q(resize(h)) == resize(q(h))
+    from attentiondm_tpu.quant.int8_serving import _quant_i8
+
+    h = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 128))
+    scale = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (128,))) * 10 + 1
+    zp = jnp.round(jax.random.normal(jax.random.PRNGKey(4), (128,)) * 5)
+    up_f32 = jax.image.resize(h, (2, 8, 8, 128), method="nearest")
+    a = _quant_i8(up_f32, scale, zp, 8)
+    b = jnp.repeat(jnp.repeat(_quant_i8(h, scale, zp, 8), 2, axis=1), 2, axis=2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_serving_uncovered_channels_fall_back():
     """ch=64 (not 128-aligned) routes through the unfused per-conv dispatch
     and still matches the interception path."""
