@@ -794,8 +794,16 @@ def serving_ddim_sampler(
     boundary_fusion: bool = False,
     pack_int4: bool = False,
     rank1: bool = False,
+    update: str = "ddim",
 ):
-    """Build a jitted DDIM sampler over the fused int8 serving path.
+    """Build a jitted sampler over the fused int8 serving path.
+
+    `update` selects the per-step rule: "ddim" (generalized, `eta`-noised,
+    reference functions/denoising.py:15-59) or "ddpm" (ancestral,
+    always-noised, reference functions/denoising.py:119-151; `eta` is
+    ignored).  The eps model, per-step folds, chunking, and rank-1 shared
+    folds are identical between the two — only the scan body's update
+    algebra differs.
 
     `step_chunk=k` folds per-step weights lazily, k steps at a time, bounding
     the folded-weight HBM residency to k x params int8 instead of S x params
@@ -808,10 +816,10 @@ def serving_ddim_sampler(
     chunk m images at a time: pass a large x (a "superbatch") and the fold
     work per chunk is paid once per superbatch instead of once per
     activation-sized batch — a 50k `--fid` run's fold overhead drops by the
-    superbatch/micro ratio.  Activation HBM stays bounded by m.  With
-    eta > 0 each micro-batch draws an independent noise stream
-    (jax.random.fold_in(key, i)), so outputs match the un-micro-batched
-    sampler only at eta == 0 (the canonical DDIM config).
+    superbatch/micro ratio.  Activation HBM stays bounded by m.  When the
+    sampler draws noise (eta > 0, or update="ddpm") each micro-batch uses an
+    independent stream (jax.random.fold_in(key, i)), so outputs match the
+    un-micro-batched sampler only in the deterministic eta == 0 DDIM config.
 
     `weight_extras` {name: quant.adaround.WeightExtras}: AdaRound offsets +
     bias-correction means threaded into every fold.
@@ -820,6 +828,8 @@ def serving_ddim_sampler(
     """
     from ..diffusion.sampling import _seq_alphas
 
+    if update not in ("ddim", "ddpm"):
+        raise ValueError(f"update must be 'ddim' or 'ddpm', got {update!r}")
     if rank1 and step_chunk is not None:
         raise ValueError(
             "rank1 shared folds make step_chunk unnecessary (fold HBM is "
@@ -839,11 +849,15 @@ def serving_ddim_sampler(
                 idx, residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=ar_,
                 boundary_fusion=boundary_fusion,
             )
-            from ..diffusion.sampling import ddim_step
+            from ..diffusion.sampling import ddim_step, ddpm_step
 
             k, sub = jax.random.split(k)
-            noise = jax.random.normal(sub, xt.shape, xt.dtype) if eta > 0 else jnp.zeros_like(xt)
-            xt_next, _ = ddim_step(xt, et, at_i, atn_i, eta, noise)
+            if update == "ddpm":
+                noise = jax.random.normal(sub, xt.shape, xt.dtype)
+                xt_next, _ = ddpm_step(xt, et, at_i, atn_i, t_i, noise)
+            else:
+                noise = jax.random.normal(sub, xt.shape, xt.dtype) if eta > 0 else jnp.zeros_like(xt)
+                xt_next, _ = ddim_step(xt, et, at_i, atn_i, eta, noise)
             return (xt_next, k), None
 
         idxs = jnp.arange(t_seg.shape[0], dtype=jnp.int32)

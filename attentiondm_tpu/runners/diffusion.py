@@ -613,7 +613,6 @@ class Diffusion:
             getattr(args, "execution", "fake_quant") == "serving"
             and not getattr(args, "fp32", False)
             and args.bitwidth > 0
-            and not use_ddpm
         )
         if serving and self.ucfg.attn_variant not in ("ddim", "enhanced"):
             logging.warning("--execution serving supports the ddim/enhanced "
@@ -697,10 +696,12 @@ class Diffusion:
                 weight_extras=getattr(self, "weight_extras", None),
                 pack_int4=pack,
                 rank1=shared_fold,
+                update="ddpm" if use_ddpm else "ddim",
             )
             desc = (
                 f"serving-int8 W{args.bitwidth}"
                 f"A{getattr(args, 'a_bitwidth', None) or args.bitwidth}"
+                + ("/ddpm" if use_ddpm else "")
                 + ("/bf16res" if res_dtype == jnp.bfloat16 else "")
                 + ("/attn-int8" if attn_int8 else "")
                 + (f"/{getattr(args, 'weight_opt', 'adaround')}"

@@ -134,6 +134,38 @@ def test_chunked_sampler_equals_unchunked():
     )
 
 
+def test_serving_ddpm_sampler_matches_generic_scan():
+    """update="ddpm" must equal ddpm_sample() driven by serving_model_fn with
+    the same key (identical split order per step), and chunked must equal
+    unchunked under the always-noised update too."""
+    from attentiondm_tpu.diffusion import DiffusionSchedule
+    from attentiondm_tpu.diffusion.sampling import ddpm_sample
+
+    cfg, params, qunet, qstates, xs, seq = _setup(steps=4)
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    seq = [0, 300, 600, 900]
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3))
+    key = jax.random.PRNGKey(7)
+
+    got = serving_ddim_sampler(
+        qunet, params, qstates, seq, sched.betas, update="ddpm", attn_int8=False
+    )(x, key)
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    fn = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)
+    want = jax.jit(lambda x, k: ddpm_sample(fn, x, seq, sched.betas, key=k))(x, key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+    assert bool(jnp.isfinite(got).all())
+
+    chunked = serving_ddim_sampler(
+        qunet, params, qstates, seq, sched.betas, update="ddpm", attn_int8=False,
+        step_chunk=3,
+    )(x, key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(chunked), rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="update"):
+        serving_ddim_sampler(qunet, params, qstates, seq, sched.betas, update="euler")
+
+
 def test_serving_int8_attention_close_to_f32_core():
     """Dynamic int8 QK^T + bf16 PV vs the f32 attention core."""
     cfg, params, qunet, qstates, xs, _ = _setup()

@@ -76,10 +76,16 @@ def test_serving_attn_int8_enhanced_gating_warns(tmp_path, caplog):
     assert os.path.exists(os.path.join(args.image_folder, "grid.png"))
 
 
-def test_serving_ddpm_falls_back_to_interception(tmp_path, caplog):
+def test_serving_ddpm_runs_on_the_engine(tmp_path, caplog):
+    """--sample_type ddpm_noisy drives the fused serving engine (ancestral
+    update in the same per-step-fold scan); round 2 fell back to
+    interception here."""
     config = tiny_config(tmp_path)
     args = make_args(tmp_path, sample_type="ddpm_noisy", weight_opt="off")
-    Diffusion(args, config).sample()
+    with caplog.at_level(logging.INFO):
+        Diffusion(args, config).sample()
+    assert any("serving-int8" in r.message and "/ddpm" in r.message
+               for r in caplog.records)
     assert os.path.exists(os.path.join(args.image_folder, "grid.png"))
 
 
