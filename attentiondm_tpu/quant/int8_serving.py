@@ -401,8 +401,45 @@ def _conv_any(name, x, p, rt_i, qunet, qstates, step_idx, *, stride=1, padding="
     return conv2d(x, p, stride=stride, padding=padding)
 
 
+def _predequant_bf16(dot, lay_i: ServingLayer):
+    """Fold the per-channel dequant + bias into the conv's own XLA output
+    fusion and hand the Pallas epilogue a bf16 tensor instead of the int32
+    accumulator — the conv->epilogue HBM round trip halves (4B -> 2B per
+    element each way).  bf16 rounds the ALREADY-BIAS-CORRECTED value (rel err
+    <= 2^-9 of the signal, below one 8-bit activation LSB), not the raw
+    accumulator whose zero-point term can dwarf the signal."""
+    h = dot.astype(jnp.float32) * lay_i.inv_ws + lay_i.zcbias
+    return h.astype(jnp.bfloat16)
+
+
+def _identity_epi(lay_i: ServingLayer):
+    """(inv_ws, zcbias) that make the epilogue kernels a no-op dequant, for
+    inputs already pre-dequantized by `_predequant_bf16`."""
+    return jnp.ones_like(lay_i.inv_ws), jnp.zeros_like(lay_i.zcbias)
+
+
+def _entry_gn_quant(h_res, gn_p, quant_params, *, sums=None, entry_pallas=False):
+    """Resblock/conv entry: GN -> swish -> quantize.
+
+    Default: XLA two-pass (stats reduce + fused normalize/swish/quantize).
+    `entry_pallas` routes through the one-pass Pallas kernel
+    (ops/fused_gn.gn_act_quant) — one HBM read of the residual instead of
+    two, worthwhile when the residual stream is bf16 and the shape fits
+    whole-image VMEM blocks.  With precomputed `sums` (boundary fusion) the
+    XLA path is already one-pass, so Pallas buys nothing — use XLA."""
+    if entry_pallas and sums is None:
+        from ..ops.fused_gn import gn_act_quant
+
+        C = h_res.shape[-1]
+        HW = int(np.prod(h_res.shape[1:-1]))
+        if HW * C * 5 <= 4 * 1024 * 1024:
+            return gn_act_quant(h_res, gn_p["scale"], gn_p["bias"], quant_params)
+    return gn_act_quant_xla(h_res, gn_p, quant_params, sums=sums)
+
+
 def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, res_dtype,
-                    entry_sums=None, want_exit_stats=False):
+                    entry_sums=None, want_exit_stats=False, dot_bf16=False,
+                    entry_pallas=False):
     """norm1->swish->conv1->(+temb)->norm2->swish->conv2 (+shortcut), fused.
 
     Graph identical to models/unet.py::_resblock_apply (inference, no
@@ -424,15 +461,23 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
     fused = c1 is not None and c2 is not None and c1.zcbias.shape[-1] == co1
     dot2 = None
     if fused:
-        (hq,) = gn_act_quant_xla(hf, p["norm1"], [(c1.act_scale, c1.act_zp, a1.a_bit)],
-                                 sums=entry_sums)
+        (hq,) = _entry_gn_quant(h_res, p["norm1"], [(c1.act_scale, c1.act_zp, a1.a_bit)],
+                                sums=entry_sums, entry_pallas=entry_pallas)
         dot1 = int8_conv3_qzero(hq, c1.act_zp, a1.a_bit, c1.gq)
         # fused Pallas epilogue: int32 -> (+temb) -> GN2 -> swish -> int8
-        hq2 = epilogue_gn_swish_quant(
-            dot1, c1.inv_ws, c1.zcbias, tproj,
-            p["norm2"]["scale"], p["norm2"]["bias"],
-            c2.act_scale, c2.act_zp, a2.a_bit,
-        )
+        if dot_bf16:
+            ones1, zeros1 = _identity_epi(c1)
+            hq2 = epilogue_gn_swish_quant(
+                _predequant_bf16(dot1, c1), ones1, zeros1, tproj,
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                c2.act_scale, c2.act_zp, a2.a_bit,
+            )
+        else:
+            hq2 = epilogue_gn_swish_quant(
+                dot1, c1.inv_ws, c1.zcbias, tproj,
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                c2.act_scale, c2.act_zp, a2.a_bit,
+            )
         dot2 = int8_conv3_qzero(hq2, c2.act_zp, a2.a_bit, c2.gq)
         h = None  # exit handled below (possibly fused with the residual add)
     else:
@@ -482,10 +527,17 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
             and Np == co2  # unpadded fold: the kernel needs no column slice
             and epilogue_residual_gn_stats_fits(HW, Np)
         ):
-            res_out, sums = epilogue_residual_gn_stats(
-                dot2, c2.inv_ws, c2.zcbias, x_sc.astype(jnp.float32),
-                out_dtype=res_dtype,
-            )
+            if dot_bf16:
+                ones2, zeros2 = _identity_epi(c2)
+                res_out, sums = epilogue_residual_gn_stats(
+                    _predequant_bf16(dot2, c2), ones2, zeros2,
+                    x_sc.astype(jnp.float32), out_dtype=res_dtype,
+                )
+            else:
+                res_out, sums = epilogue_residual_gn_stats(
+                    dot2, c2.inv_ws, c2.zcbias, x_sc.astype(jnp.float32),
+                    out_dtype=res_dtype,
+                )
             return res_out, sums
         h = _epilogue(dot2, c2, co2)
     return (x_sc + h).astype(res_dtype), None
@@ -637,6 +689,8 @@ def serving_unet_apply(
     attn_int8: bool = True,
     attn_ranges=None,
     boundary_fusion: bool = False,
+    dot_bf16: bool = False,
+    entry_pallas: bool = False,
 ) -> jax.Array:
     """Fused int8-resident forward.  Mirrors models/unet.py::unet_apply
     (inference path) — there is a test asserting the two stay in lockstep.
@@ -686,7 +740,8 @@ def serving_unet_apply(
             h, sums = _resblock_fused(
                 f"down.{i_level}.block.{i_block}", lp["block"][i_block], hs[-1],
                 temb, rt_i, qunet, qstates, step_idx, residual_dtype,
-                entry_sums=sums, want_exit_stats=want,
+                entry_sums=sums, want_exit_stats=want, dot_bf16=dot_bf16,
+                entry_pallas=entry_pallas,
             )
             if lp["attn"]:
                 h = attn_site(f"down.{i_level}.attn.{i_block}", lp["attn"][i_block], h)
@@ -715,10 +770,12 @@ def serving_unet_apply(
 
     h = hs[-1]
     h, _ = _resblock_fused("mid.block_1", params["mid"]["block_1"], h, temb, rt_i,
-                           qunet, qstates, step_idx, residual_dtype, entry_sums=sums)
+                           qunet, qstates, step_idx, residual_dtype, entry_sums=sums,
+                           dot_bf16=dot_bf16, entry_pallas=entry_pallas)
     h = attn_site("mid.attn_1", params["mid"]["attn_1"], h)
     h, _ = _resblock_fused("mid.block_2", params["mid"]["block_2"], h, temb, rt_i,
-                           qunet, qstates, step_idx, residual_dtype)
+                           qunet, qstates, step_idx, residual_dtype, dot_bf16=dot_bf16,
+                           entry_pallas=entry_pallas)
 
     for i_level in reversed(range(num_levels)):
         lp = params["up"][i_level]
@@ -727,6 +784,7 @@ def serving_unet_apply(
                 f"up.{i_level}.block.{i_block}", lp["block"][i_block],
                 jnp.concatenate([h, hs.pop()], axis=-1),
                 temb, rt_i, qunet, qstates, step_idx, residual_dtype,
+                dot_bf16=dot_bf16, entry_pallas=entry_pallas,
             )
             if lp["attn"]:
                 h = attn_site(f"up.{i_level}.attn.{i_block}", lp["attn"][i_block], h)
@@ -757,8 +815,9 @@ def serving_unet_apply(
     lay = rt_i.get("conv_out")
     if lay is not None:
         pol = qunet.policy["conv_out"]
-        (hq,) = gn_act_quant_xla(h.astype(jnp.float32), params["norm_out"],
-                                 [(lay.act_scale, lay.act_zp, pol.a_bit)])
+        (hq,) = _entry_gn_quant(h, params["norm_out"],
+                                [(lay.act_scale, lay.act_zp, pol.a_bit)],
+                                entry_pallas=entry_pallas)
         dot = int8_conv3_qzero(hq, lay.act_zp, pol.a_bit, lay.gq)
         h = _epilogue(dot, lay, cfg.out_ch)
     else:
@@ -792,6 +851,8 @@ def serving_ddim_sampler(
     attn_ranges=None,
     weight_extras=None,
     boundary_fusion: bool = False,
+    dot_bf16: bool = False,
+    entry_pallas: bool = False,
     pack_int4: bool = False,
     rank1: bool = False,
     update: str = "ddim",
@@ -847,7 +908,8 @@ def serving_ddim_sampler(
             et = serving_unet_apply(
                 p_, qunet.cfg, qunet, rt_, qs_, xt, jnp.full((n,), t_i, jnp.float32),
                 idx, residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=ar_,
-                boundary_fusion=boundary_fusion,
+                boundary_fusion=boundary_fusion, dot_bf16=dot_bf16,
+                entry_pallas=entry_pallas,
             )
             from ..diffusion.sampling import ddim_step, ddpm_step
 
@@ -914,6 +976,8 @@ def serving_model_fn(
     attn_int8: bool = True,
     attn_ranges=None,
     boundary_fusion: bool = False,
+    dot_bf16: bool = False,
+    entry_pallas: bool = False,
 ):
     """Sampler-compatible `(x, t, step_idx) -> eps` closure (RAW params)."""
 
@@ -921,7 +985,8 @@ def serving_model_fn(
         return serving_unet_apply(
             params, qunet.cfg, qunet, runtime, qstates, x, t, step_idx,
             residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=attn_ranges,
-            boundary_fusion=boundary_fusion,
+            boundary_fusion=boundary_fusion, dot_bf16=dot_bf16,
+            entry_pallas=entry_pallas,
         )
 
     return fn

@@ -480,3 +480,34 @@ def test_packed_serving_bit_identical():
     a = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas)(x)
     b = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas, pack_int4=True)(x)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dot_bf16_close_to_int32_epilogue():
+    """`dot_bf16` folds dequant+bias into the conv's XLA output fusion and
+    hands the Pallas epilogues bf16 — numerics must stay within the W4A8
+    quantization noise (bf16 rounds the bias-corrected value, rel <= 2^-9,
+    i.e. about one 8-bit activation LSB)."""
+    cfg, params, qunet, qstates, xs, _ = _setup()
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    x = xs[0]
+    t = jnp.full((2,), 5.0)
+    base = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(
+        x, t, jnp.asarray(0)
+    )
+    fast = serving_model_fn(
+        qunet, runtime, params, qstates, attn_int8=False, dot_bf16=True
+    )(x, t, jnp.asarray(0))
+    rel = float(jnp.abs(fast - base).mean() / (jnp.abs(base).mean() + 1e-9))
+    assert rel < 0.02, rel
+    # and through the sampler (boundary-fusion exit-stats kernel included)
+    from attentiondm_tpu.diffusion import DiffusionSchedule
+
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    seq = [0, 500]
+    a = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas,
+                             attn_int8=False)(x)
+    b = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas,
+                             attn_int8=False, dot_bf16=True,
+                             boundary_fusion=True)(x)
+    rel = float(jnp.abs(a - b).mean() / (jnp.abs(a).mean() + 1e-9))
+    assert np.isfinite(rel) and rel < 0.05, rel
