@@ -43,10 +43,18 @@ import optax
 from ..models.unet import UNetConfig, conv2d, iter_conv_layers, unet_apply
 from ..ops.quant_conv import weight_grid
 
-# Layers whose im2col Gram exceeds this K are skipped (H is K^2 floats;
-# K = kh*kw*cin).  4800 covers every CIFAR-10 layer (max K = 9*512 = 4608);
-# 256x256 models keep round-to-nearest on their largest up-blocks.
+# Layers up to this K (= kh*kw*cin; H is K^2 floats) are collected in ONE
+# joint forward pass.  4800 covers every CIFAR-10 layer (max K = 9*512).
 GRAM_K_CAP = 4800
+# Layers above GRAM_K_CAP are collected in EXTRA memory-budgeted passes
+# (VERDICT r3 item #4: church/bedroom's largest up-blocks, K up to 9*1024 =
+# 9216, previously fell back to round-to-nearest silently).  Only layers
+# above this hard cap are skipped — and loudly.
+GRAM_K_MAX = 12288
+# Per-collection-pass budget for the large-K Grams (bytes of f32).  1 GiB
+# fits 2-3 K=9216 Grams per pass; church/bedroom's 7 over-cap layers take
+# 3 passes of `max_steps` forwards each — calibration-time only.
+GRAM_CHUNK_BYTES = 1 << 30
 
 
 @jax.tree_util.register_dataclass
@@ -286,6 +294,8 @@ def compute_weight_extras(
     method: str = "adaround",
     rank1: bool = False,
     progress=None,
+    k_max: int = GRAM_K_MAX,
+    chunk_bytes: int = GRAM_CHUNK_BYTES,
 ) -> Dict[str, WeightExtras]:
     """Full pipeline: collect stats on the calibration trajectory, then run
     the rounding optimizer per serving-eligible layer (at w_bit <=
@@ -304,7 +314,14 @@ def compute_weight_extras(
     `rank1` anchors the grid on the rank-1 factor u[c] instead
     (quant/rank1.py): with step-SHARED folds the deployed grid is exactly the
     u grid at every step, so offsets optimized here apply without drift.
+
+    Layers with K = kh*kw*cin above GRAM_K_CAP are collected in extra
+    memory-budgeted passes (`chunk_bytes` of Gram per pass) so 256x256
+    models' largest up-blocks get error-compensated rounding too; only
+    K > `k_max` falls back to round-to-nearest, with a runtime advisory.
     """
+    import logging
+
     from .int8_runtime import _eligible
     from .state import mixed_ranges
 
@@ -318,7 +335,33 @@ def compute_weight_extras(
             names.append(name)
             kernels[name] = node["kernel"]
 
-    stats = collect_conv_stats(params, qunet.cfg, xs, seq, max_steps=max_steps, names=names)
+    k_of = {n: int(np.prod(kernels[n].shape[:3])) for n in names}
+    small = [n for n in names if k_of[n] <= GRAM_K_CAP]
+    large = sorted((n for n in names if GRAM_K_CAP < k_of[n] <= k_max),
+                   key=lambda n: k_of[n])
+    for n in (n for n in names if k_of[n] > k_max):
+        logging.warning(
+            "weight_opt: %s K=%d exceeds k_max=%d — keeping round-to-nearest "
+            "(raise k_max / chunk_bytes to cover it)", n, k_of[n], k_max)
+
+    stats = collect_conv_stats(params, qunet.cfg, xs, seq, max_steps=max_steps, names=small)
+
+    chunks, cur, used = [], [], 0
+    for n in large:
+        b = 4 * k_of[n] ** 2
+        if cur and used + b > chunk_bytes:
+            chunks.append(cur)
+            cur, used = [], 0
+        cur.append(n)
+        used += b
+    if cur:
+        chunks.append(cur)
+    for i, ch in enumerate(chunks):
+        logging.info("weight_opt: large-K Gram pass %d/%d (%d layers, K up to %d)",
+                     i + 1, len(chunks), len(ch), max(k_of[n] for n in ch))
+        stats.update(collect_conv_stats(
+            params, qunet.cfg, xs, seq, max_steps=max_steps, names=ch,
+            k_cap=max(k_of[n] for n in ch)))
 
     @jax.jit
     def mean_scale(st, a_bit: int):

@@ -568,15 +568,17 @@ def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_
         from ..ops.int8_attention import fused_attention_block, fused_attention_block_fits
 
         fits = (
-            not attn_int8
-            and fused_attention_block_fits(L, C)
+            fused_attention_block_fits(L, C)
             and all(l.gq.shape == (C, C) for l in lays)
         )
         if fits:
             # the residual enters the kernel at its own dtype (bf16 stream:
             # no materialized f32 copy before the opaque pallas_call) and the
             # kernel writes res_dtype directly — bit-identical to casting
-            # outside, ~4 full-tensor HBM passes fewer per attention site
+            # outside, ~4 full-tensor HBM passes fewer per attention site.
+            # --attn_int8 composes: the kernel's QK^T core switches to
+            # dynamic-scale int8 MXU MACs in-VMEM (no extra HBM traffic),
+            # instead of being mutually exclusive with the whole-block pass.
             out_res = fused_attention_block(
                 h_res.astype(res_dtype).reshape(B, L, C),
                 p["norm"]["scale"], p["norm"]["bias"],
@@ -585,6 +587,7 @@ def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_
                 (lo.act_scale, lo.act_zp, pols[3].a_bit),
                 (lo.gq, lo.inv_ws, lo.zcbias),
                 scale=C ** -0.5,
+                int8_core=attn_int8,
             )
             return out_res.reshape(B, H, W, C)
         qp = [(l.act_scale, l.act_zp, pol.a_bit) for l, pol in zip(lays[:3], pols[:3])]
@@ -647,7 +650,8 @@ def _attn_fused(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype, attn_
     return (hf + out).astype(res_dtype)
 
 
-def _attn_fused_enhanced(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype):
+def _attn_fused_enhanced(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dtype,
+                         mp_ctx=None):
     """EnhancedQSelfAttention on the serving path (reference
     self_attention.py:118-153; models/unet.py::_attn_apply_enhanced).
 
@@ -655,8 +659,12 @@ def _attn_fused_enhanced(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dty
     each 1x1 projection dispatches through `_conv_any` (int8 when covered,
     per-projection bit policy: key at max(4, b-2) etc.), the attention core
     stays an f32 einsum at the reference's short sequence lengths, and the
-    learnable gamma scales the residual.  The stage-3 mixed-precision core
-    (`mp_states`) stays on the interception path.
+    learnable gamma scales the residual.  `mp_ctx` (stage-3
+    mixed-precision attention, quant/attention_mp.py) swaps the core for
+    the multi-head logits/probs-quantized one — elementwise work around the
+    same einsums, so the flagship combined config (enhanced variant + MP
+    core, reference attention_quant_utils.py:51-107) rides the serving
+    engine instead of falling back to interception.
     """
     B, H, W, C = h_res.shape
     hf = h_res.astype(jnp.float32)
@@ -667,9 +675,21 @@ def _attn_fused_enhanced(name, p, h_res, rt_i, qunet, qstates, step_idx, res_dty
     q = q.reshape(B, H * W, Ck)
     k = k.reshape(B, H * W, Ck)
     v = v.reshape(B, H * W, C)
-    w = jnp.einsum("blc,bmc->blm", q, k, preferred_element_type=jnp.float32)
-    w = jax.nn.softmax(w * (Ck ** -0.5), axis=-1)
-    out = jnp.einsum("blm,bmc->blc", w, v, preferred_element_type=jnp.float32)
+    mp_state = (mp_ctx or {}).get("mp_states", {}).get(name) if mp_ctx else None
+    if mp_state is not None:
+        from .attention_mp import mp_attention
+
+        out = mp_attention(
+            q, k.transpose(0, 2, 1), v, mp_state,
+            num_heads=qunet.cfg.attn_heads,
+            base_bits=mp_ctx.get("base_bits", 8),
+            timestep=mp_ctx.get("timestep"),
+            head_split=mp_ctx.get("head_split", "aligned"),
+        )
+    else:
+        w = jnp.einsum("blc,bmc->blm", q, k, preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(w * (Ck ** -0.5), axis=-1)
+        out = jnp.einsum("blm,bmc->blc", w, v, preferred_element_type=jnp.float32)
     out = out.reshape(B, H, W, C)
     out = _conv_any(f"{name}.output_conv", out, p["output_conv"], rt_i, qunet, qstates, step_idx)
     return (p["gamma"].astype(jnp.float32) * out + hf).astype(res_dtype)
@@ -691,12 +711,16 @@ def serving_unet_apply(
     boundary_fusion: bool = False,
     dot_bf16: bool = False,
     entry_pallas: bool = False,
+    mp_states=None,
+    mp_base_bits: int = 8,
 ) -> jax.Array:
     """Fused int8-resident forward.  Mirrors models/unet.py::unet_apply
     (inference path) — there is a test asserting the two stay in lockstep.
 
-    The "ddim" and "enhanced" attention variants are supported; the stage-3
-    MP-attention core uses the interception path (quant/int8_runtime.py).
+    The "ddim" and "enhanced" attention variants are supported; `mp_states`
+    ({layer_name: MPAttentionState}) additionally enables the stage-3
+    mixed-precision attention core on the enhanced variant (timestep taken
+    from `t`, like the interception path does).
     """
     if cfg.attn_variant not in ("ddim", "enhanced"):
         raise NotImplementedError(f"serving path: unknown attn variant {cfg.attn_variant}")
@@ -705,8 +729,17 @@ def serving_unet_apply(
     num_levels = len(cfg.ch_mult)
 
     if cfg.attn_variant == "enhanced":
+        mp_ctx = None
+        if mp_states:
+            mp_ctx = {
+                "mp_states": mp_states,
+                "base_bits": mp_base_bits,
+                "timestep": t.reshape(-1)[0].astype(jnp.int32),
+            }
+
         def attn_site(nm, pp, hh):
-            return _attn_fused_enhanced(nm, pp, hh, rt_i, qunet, qstates, step_idx, residual_dtype)
+            return _attn_fused_enhanced(nm, pp, hh, rt_i, qunet, qstates, step_idx,
+                                        residual_dtype, mp_ctx=mp_ctx)
     else:
         def attn_site(nm, pp, hh):
             return _attn_fused(nm, pp, hh, rt_i, qunet, qstates, step_idx,
@@ -856,6 +889,8 @@ def serving_ddim_sampler(
     pack_int4: bool = False,
     rank1: bool = False,
     update: str = "ddim",
+    mp_states=None,
+    mp_base_bits: int = 8,
 ):
     """Build a jitted sampler over the fused int8 serving path.
 
@@ -899,7 +934,7 @@ def serving_ddim_sampler(
     t_rev, _, at, at_next = _seq_alphas(betas, seq)
     S = t_rev.shape[0]
 
-    def _scan_segment(p_, qs_, rt_, ar_, x, key, t_seg, at_seg, atn_seg):
+    def _scan_segment(p_, qs_, rt_, ar_, mp_, x, key, t_seg, at_seg, atn_seg):
         n = x.shape[0]
 
         def body(carry, inp):
@@ -909,7 +944,7 @@ def serving_ddim_sampler(
                 p_, qunet.cfg, qunet, rt_, qs_, xt, jnp.full((n,), t_i, jnp.float32),
                 idx, residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=ar_,
                 boundary_fusion=boundary_fusion, dot_bf16=dot_bf16,
-                entry_pallas=entry_pallas,
+                entry_pallas=entry_pallas, mp_states=mp_, mp_base_bits=mp_base_bits,
             )
             from ..diffusion.sampling import ddim_step, ddpm_step
 
@@ -936,7 +971,7 @@ def serving_ddim_sampler(
 
         def sample(x, key=None):
             key = jax.random.PRNGKey(0) if key is None else key
-            xf, _ = seg_jit(params, qstates, runtime, attn_ranges, x, key,
+            xf, _ = seg_jit(params, qstates, runtime, attn_ranges, mp_states, x, key,
                             t_rev.astype(jnp.float32), at, at_next)
             return xf
 
@@ -959,7 +994,7 @@ def serving_ddim_sampler(
             qs = _slice_states(qstates, sl)
             ar = None if attn_ranges is None else jax.tree_util.tree_map(lambda a: a[sl], attn_ranges)
             for i in range(n_mb):
-                xs[i], keys[i] = seg_jit(params, qs, rt, ar, xs[i], keys[i],
+                xs[i], keys[i] = seg_jit(params, qs, rt, ar, mp_states, xs[i], keys[i],
                                          t_rev[sl].astype(jnp.float32), at[sl], at_next[sl])
         return xs[0] if n_mb == 1 else jnp.concatenate(xs, axis=0)
 
@@ -978,6 +1013,8 @@ def serving_model_fn(
     boundary_fusion: bool = False,
     dot_bf16: bool = False,
     entry_pallas: bool = False,
+    mp_states=None,
+    mp_base_bits: int = 8,
 ):
     """Sampler-compatible `(x, t, step_idx) -> eps` closure (RAW params)."""
 
@@ -986,7 +1023,7 @@ def serving_model_fn(
             params, qunet.cfg, qunet, runtime, qstates, x, t, step_idx,
             residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=attn_ranges,
             boundary_fusion=boundary_fusion, dot_bf16=dot_bf16,
-            entry_pallas=entry_pallas,
+            entry_pallas=entry_pallas, mp_states=mp_states, mp_base_bits=mp_base_bits,
         )
 
     return fn

@@ -618,11 +618,6 @@ class Diffusion:
             logging.warning("--execution serving supports the ddim/enhanced "
                             "attention variants; falling back to fake_quant")
             serving = False
-        if serving and getattr(args, "mixed_precision_attention", False):
-            logging.warning("stage-3 MP attention runs on the interception "
-                            "path; falling back to fake_quant")
-            serving = False
-
         if serving:
             # fused int8-resident execution (quant/int8_serving.py) — the
             # path bench.py times; true int8 MACs, one HBM pass per resblock
@@ -641,7 +636,10 @@ class Diffusion:
                                 "variant only; enhanced serving runs the f32 "
                                 "attention core")
                 attn_int8 = False
-            qstates, _mp = self.calibrate_model(
+            # stage-3 MP attention (enhanced variant) rides the serving
+            # engine too: calibrate_model returns the per-layer
+            # MPAttentionState dict when --mixed_precision_attention is set
+            qstates, mp_states = self.calibrate_model(
                 params, qunet, qstates, seq, first=True,
                 collect_attn_ranges=attn_int8,
                 compute_extras=True,
@@ -697,6 +695,8 @@ class Diffusion:
                 pack_int4=pack,
                 rank1=shared_fold,
                 update="ddpm" if use_ddpm else "ddim",
+                mp_states=mp_states,
+                mp_base_bits=args.bitwidth,
             )
             desc = (
                 f"serving-int8 W{args.bitwidth}"
@@ -704,6 +704,7 @@ class Diffusion:
                 + ("/ddpm" if use_ddpm else "")
                 + ("/bf16res" if res_dtype == jnp.bfloat16 else "")
                 + ("/attn-int8" if attn_int8 else "")
+                + ("/mpattn" if mp_states else "")
                 + (f"/{getattr(args, 'weight_opt', 'adaround')}"
                    if getattr(self, "weight_extras", None) else "")
                 + ("/shared-fold" if shared_fold else "")

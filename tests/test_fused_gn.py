@@ -208,6 +208,63 @@ def test_fused_attention_block_matches_composed():
     )
 
 
+def test_fused_attention_block_int8_core_matches_composed():
+    """int8_core=True (the --attn_int8 composition, VERDICT r3 weak #6): the
+    whole-block kernel's QK^T runs dynamic-scale int8 MXU MACs; the oracle is
+    the same composed chain with `_dyn_quant_i8` applied to q/k and bf16 PV
+    (matching fused_int8_attention's core semantics)."""
+    import numpy as np
+
+    from attentiondm_tpu.ops.fused_gn import gn_act_quant_reference
+    from attentiondm_tpu.ops.int8_attention import _dyn_quant_i8, fused_attention_block
+
+    rng = np.random.default_rng(1)
+    B, L, C = 2, 64, 128
+    x = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    gn_scale = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.2 + 1.0)
+    gn_bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+
+    def mk_proj():
+        gq = jnp.asarray(rng.integers(-127, 127, (C, C)).astype(np.int8))
+        inv_ws = jnp.asarray((rng.uniform(0.5, 2.0, C) * 1e-3).astype(np.float32))
+        zcbias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.05)
+        s = jnp.asarray(rng.uniform(20.0, 60.0, C).astype(np.float32))
+        z = jnp.asarray(np.round(rng.uniform(-30, 30, C)).astype(np.float32))
+        return gq, inv_ws, zcbias, s, z
+
+    projs = [mk_proj() for _ in range(4)]
+    qkv_quant = [(p[3], p[4], 8) for p in projs[:3]]
+    qkv_weights = [(p[0], p[1], p[2]) for p in projs[:3]]
+    o_quant = (projs[3][3], projs[3][4], 8)
+    o_weights = (projs[3][0], projs[3][1], projs[3][2])
+
+    got = fused_attention_block(
+        x, gn_scale, gn_bias, qkv_quant, qkv_weights, o_quant, o_weights,
+        scale=C ** -0.5, int8_core=True, interpret=True,
+    )
+
+    outs = gn_act_quant_reference(x, gn_scale, gn_bias, qkv_quant, act="none")
+    qkv = []
+    for q8, (gq, iw, zc) in zip(outs, qkv_weights):
+        dot = jnp.einsum("blc,cn->bln", q8.astype(jnp.int32), gq.astype(jnp.int32))
+        qkv.append(dot.astype(jnp.float32) * iw + zc)
+    q, k, v = qkv
+    qq, sq = _dyn_quant_i8(q)
+    kq, sk = _dyn_quant_i8(k)
+    li = jnp.einsum("blc,bmc->blm", qq.astype(jnp.int32), kq.astype(jnp.int32))
+    lf = li.astype(jnp.float32) * ((sq * sk * (C ** -0.5))[:, :, None])
+    w = jax.nn.softmax(lf, axis=-1)
+    av = jnp.einsum("blm,bmc->blc", w, v)
+    so, zo, bo = o_quant
+    n = 2 ** (bo - 1)
+    oq = jnp.clip(jnp.round(so * av - zo), -n, n - 1).astype(jnp.int32)
+    gq_o, iw_o, zc_o = o_weights
+    out = jnp.einsum("blc,cn->bln", oq, gq_o.astype(jnp.int32)).astype(jnp.float32) * iw_o + zc_o
+    want = x + out
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
 def test_epilogue_blocked_matches_reference_large_hw():
     """Spatially-blocked two-pass epilogue (256x256-class shapes) must match
     the jnp oracle bit for bit on the int8 output (VERDICT r2 item 6)."""

@@ -274,8 +274,14 @@ def test_static_int8_attention_matches_its_reference():
     assert int(jnp.abs(got.astype(jnp.int32) - want.astype(jnp.int32)).max()) <= 1
 
 
-def test_serving_static_attn_ranges_close_to_f32_core():
-    """Calibrated static int8 QK^T attention tracks the f32 attention core."""
+def test_serving_static_attn_ranges_close_to_f32_core(monkeypatch):
+    """Calibrated static int8 QK^T attention tracks the f32 attention core.
+
+    The whole-block kernel now composes with --attn_int8 (dynamic in-VMEM
+    core), so to exercise the STATIC-scale dispatch we force the whole-block
+    kernel ineligible by zeroing its VMEM budget."""
+    import attentiondm_tpu.ops.int8_attention as i8attn
+
     cfg, params, qunet, qstates, xs, seq = _setup()
     qstates2 = qunet.init_state(2)
     res = calibrate_ranges(qunet, params, qstates2, xs, seq, first=True, return_attn_ranges=True)
@@ -288,6 +294,7 @@ def test_serving_static_attn_ranges_close_to_f32_core():
     f32core = serving_model_fn(qunet, runtime, params, qstates2, attn_int8=False)(
         x, t, jnp.asarray(0)
     )
+    monkeypatch.setattr(i8attn, "FUSED_ATTN_VMEM_BUDGET", 0)
     static = serving_model_fn(
         qunet, runtime, params, qstates2, attn_int8=True, attn_ranges=attn_ranges
     )(x, t, jnp.asarray(0))
@@ -511,3 +518,107 @@ def test_dot_bf16_close_to_int32_epilogue():
                              boundary_fusion=True)(x)
     rel = float(jnp.abs(a - b).mean() / (jnp.abs(a).mean() + 1e-9))
     assert np.isfinite(rel) and rel < 0.05, rel
+
+
+def test_serving_mp_attention_matches_interception():
+    """Stage-3 mixed-precision attention rides the serving engine (VERDICT r3
+    item #3): serving with mp_states must (a) actually engage the MP core
+    (differ from the plain enhanced core) and (b) match the interception
+    (fake-quant) path running the identical MP core + timestep."""
+    from attentiondm_tpu.models.unet import unet_apply
+    from attentiondm_tpu.quant.attention_mp import (
+        init_mp_attention_state,
+        update_quant_params,
+    )
+    from attentiondm_tpu.quant.qunet import make_quant_conv_apply
+
+    cfg = UNetConfig(
+        ch=128, ch_mult=(1,), num_res_blocks=1, attn_resolutions=(8,),
+        resolution=8, dropout=0.0, attn_variant="enhanced",
+    )
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+
+    # gamma inits to 0 (reference parity) which zeroes the attention branch —
+    # set it nonzero so the core actually contributes to the output
+    def _set_gamma(node):
+        if isinstance(node, dict):
+            return {k: (jnp.ones_like(v) if k == "gamma" else _set_gamma(v))
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [_set_gamma(v) for v in node]
+        return node
+
+    params = _set_gamma(params)
+    qunet = QuantizedUNet.create(cfg, 8)
+    steps = 2
+    qstates = qunet.init_state(steps)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (steps, 2, 8, 8, 3))
+    seq = [0, 900]
+    qstates = calibrate_ranges(qunet, params, qstates, xs, seq, first=True)
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    sites = sorted({n.rsplit(".", 1)[0] for n in runtime if n.endswith("query_conv")})
+    assert sites, runtime.keys()
+
+    # base_bits=4 -> effective bits ~5.2: logits ARE quantized (<= 6)
+    base_bits = 4
+    mp_states = {
+        s: update_quant_params(init_mp_attention_state(10), -2.0, 2.0, base_bits)
+        for s in sites
+    }
+    x, t = xs[0], jnp.full((2,), 5.0)
+
+    base = serving_model_fn(qunet, runtime, params, qstates)(x, t, jnp.asarray(0))
+    got = serving_model_fn(
+        qunet, runtime, params, qstates, mp_states=mp_states, mp_base_bits=base_bits
+    )(x, t, jnp.asarray(0))
+    # (a) the MP core changed the output (multi-head + quantized logits)
+    assert float(jnp.abs(got - base).max()) > 1e-6
+
+    # (b) interception path with the identical MP attn_ctx.  The serving and
+    # interception engines already differ by ~2.5% rel at this random-weight
+    # setup WITHOUT the MP core (int8 conv vs fake-quant) — so the assertion
+    # is relative: composing the MP core must not widen that baseline gap.
+    qparams, _ = qunet.prepare_params(params)
+    ca = make_quant_conv_apply(qstates, qunet.policy, jnp.asarray(0), mode="infer")
+    want = unet_apply(
+        qparams, cfg, x, t, conv_apply=ca,
+        attn_ctx={"mp_states": mp_states, "base_bits": base_bits,
+                  "timestep": jnp.asarray(5, jnp.int32)},
+    )
+    want0 = unet_apply(qparams, cfg, x, t, conv_apply=ca)
+    rel = float(jnp.abs(got - want).mean() / (jnp.abs(want).mean() + 1e-9))
+    rel0 = float(jnp.abs(base - want0).mean() / (jnp.abs(want0).mean() + 1e-9))
+    assert rel < rel0 * 1.3 + 1e-3, (rel, rel0)
+
+    # and through the jitted sampler end to end
+    from attentiondm_tpu.diffusion import DiffusionSchedule
+
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    out = serving_ddim_sampler(
+        qunet, params, qstates, seq, sched.betas,
+        mp_states=mp_states, mp_base_bits=base_bits,
+    )(jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 3)))
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_serving_attn_int8_composes_with_whole_block_kernel():
+    """--attn_int8 no longer kicks the attention site off the whole-block
+    kernel (VERDICT r3 weak #6): at a fits-eligible shape the composed
+    kernel (int8_core) runs and stays within quantization noise of both the
+    f32-core whole-block pass and the old non-fused int8 dispatch."""
+    import attentiondm_tpu.ops.int8_attention as i8attn
+
+    cfg, params, qunet, qstates, xs, _ = _setup()
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    x, t = xs[0], jnp.full((2,), 5.0)
+    L, C = 64, 128
+    assert i8attn.fused_attention_block_fits(L, C)
+
+    f32core = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(
+        x, t, jnp.asarray(0)
+    )
+    composed = serving_model_fn(qunet, runtime, params, qstates, attn_int8=True)(
+        x, t, jnp.asarray(0)
+    )
+    rel = float(jnp.abs(composed - f32core).mean() / (jnp.abs(f32core).mean() + 1e-9))
+    assert rel < 0.02, rel
