@@ -339,12 +339,16 @@ def compute_weight_extras(
     small = [n for n in names if k_of[n] <= GRAM_K_CAP]
     large = sorted((n for n in names if GRAM_K_CAP < k_of[n] <= k_max),
                    key=lambda n: k_of[n])
-    for n in (n for n in names if k_of[n] > k_max):
+    skipped = [n for n in names if k_of[n] > k_max]
+    for n in skipped:
         logging.warning(
             "weight_opt: %s K=%d exceeds k_max=%d — keeping round-to-nearest "
             "(raise k_max / chunk_bytes to cover it)", n, k_of[n], k_max)
 
-    stats = collect_conv_stats(params, qunet.cfg, xs, seq, max_steps=max_steps, names=small)
+    # Over-cap layers ride the base pass with a placeholder Gram: they keep
+    # the cheap mu (bias correction) while the offsets fall back to RTN.
+    stats = collect_conv_stats(params, qunet.cfg, xs, seq, max_steps=max_steps,
+                               names=small + skipped, k_cap=GRAM_K_CAP)
 
     chunks, cur, used = [], [], 0
     for n in large:

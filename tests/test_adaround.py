@@ -148,6 +148,58 @@ def test_weight_extras_improve_w4_serving():
     assert e1 < e0, f"AdaRound+biascorr did not improve: {e1} vs {e0}"
 
 
+def test_large_k_chunked_collection_matches_joint(monkeypatch):
+    """Layers over GRAM_K_CAP ride extra memory-budgeted collection passes
+    (VERDICT r3 item 4) and must land the SAME rounding decisions as joint
+    collection.  GRAM_K_CAP is shrunk so every 3x3 conv (K=1152) takes the
+    large-K path, with chunk_bytes sized to force multiple passes."""
+    import attentiondm_tpu.quant.adaround as ar
+
+    cfg, params, qunet, qstates, xs, seq = _setup()
+    ref = compute_weight_extras(
+        qunet, params, qstates, xs, seq, max_steps=2, method="gptq"
+    )
+    monkeypatch.setattr(ar, "GRAM_K_CAP", 500)
+    got = compute_weight_extras(
+        qunet, params, qstates, xs, seq, max_steps=2, method="gptq",
+        chunk_bytes=2 * 4 * 1152**2,  # ~2 K=1152 Grams per pass
+    )
+    assert set(got) == set(ref)
+    big = [n for n in ref if ref[n].round_offset is not None
+           and ref[n].round_offset.shape[0] == 3]
+    assert big, "no 3x3 layers exercised the large-K path"
+    for n in big:
+        assert got[n].round_offset is not None, n
+        np.testing.assert_array_equal(
+            np.asarray(got[n].round_offset), np.asarray(ref[n].round_offset), err_msg=n
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[n].mu), np.asarray(ref[n].mu), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_k_max_fallback_warns_and_keeps_mu(monkeypatch, caplog):
+    """K > k_max layers fall back to round-to-nearest LOUDLY (runtime
+    advisory) but still get the cheap mu for bias correction."""
+    import logging
+
+    import attentiondm_tpu.quant.adaround as ar
+
+    cfg, params, qunet, qstates, xs, seq = _setup()
+    monkeypatch.setattr(ar, "GRAM_K_CAP", 500)
+    with caplog.at_level(logging.WARNING):
+        got = compute_weight_extras(
+            qunet, params, qstates, xs, seq, max_steps=2, method="gptq",
+            k_max=500,
+        )
+    assert any("exceeds k_max" in r.message for r in caplog.records)
+    big = [n for n in got if got[n].mu is not None and got[n].mu.shape[0] == 9 * 128]
+    assert big, "3x3 layers should still be present (mu-only)"
+    for n in big:
+        assert got[n].round_offset is None, n
+        assert got[n].mu is not None, n
+
+
 def test_bias_correction_only_stays_sane():
     """mu-only extras (no offsets) must not degrade the fold materially."""
     cfg, params, qunet, qstates, xs, seq = _setup(w_bit=4, a_bit=8)
