@@ -105,6 +105,10 @@ def sharded_statistics(images, extract_fn, mesh=None, batch_size=256):
 
     Accumulates sum(f) and sum(f f^T) on device (psum across shards happens
     inside jit via the sharded batch), so only [D] + [D,D] come back to host.
+
+    `images` is either one [N,H,W,C] array (sliced into `batch_size` chunks)
+    or an iterable of already-batched arrays (a streaming sampler: nothing
+    ever materializes the full image set on host).
     """
     from ..parallel import shard_batch
 
@@ -118,8 +122,15 @@ def sharded_statistics(images, extract_fn, mesh=None, batch_size=256):
         f = extract_fn(batch)
         return f.sum(axis=0), f.T @ f, f.shape[0]
 
-    for i in range(0, len(images), batch_size):
-        b = jnp.asarray(images[i : i + batch_size])
+    if hasattr(images, "shape"):
+        batches = (
+            jnp.asarray(images[i : i + batch_size])
+            for i in range(0, len(images), batch_size)
+        )
+    else:
+        batches = iter(images)
+    for b in batches:
+        b = jnp.asarray(b)
         if mesh is not None and b.shape[0] % mesh.devices.size == 0:
             b = shard_batch(mesh, b)
         fs, ffT, n = acc(b)

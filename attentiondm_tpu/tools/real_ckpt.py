@@ -10,15 +10,20 @@ command:
 
 1. discover assets (env ATTENTIONDM_CKPT_ROOT, ~/.cache/attentiondm,
    ./assets, cwd) and md5-verify checkpoints against the registry;
-2. convert torch -> JAX by name (models/torch_convert.py) and, when the
-   repo's independent torch oracle is importable, golden-check the converted
-   forward against it (same weights, same input);
-3. sample a DDIM-100 grid from the real checkpoint;
+2. convert torch -> JAX by name (models/torch_convert.py) and golden-check
+   the converted forward against the repo's independent torch oracle (same
+   weights, same input).  The golden check is MANDATORY (VERDICT r3 item 7):
+   a missing oracle or a mismatch exits nonzero unless --skip_oracle;
+3. sample a DDIM grid from the real checkpoint;
 4. with pt_inception present, extract canonical Inception features from the
-   samples (the last step toward a real FID — full 50k scoring goes through
-   `main.py --fid` + `python -m attentiondm_tpu.eval.fid`).
+   samples;
+5. with --fid N: the full one-command scoring path — sample N images in
+   batches (FP32 authority path; the W4A8 serving 50k run goes through
+   `main.py --fid`), stream them through sharded Inception statistics, save
+   mu/sigma npz, and when reference statistics (fid_stats_*.npz) are
+   discovered, print the Frechet distance.
 
-Everything degrades gracefully: absent assets are reported, not fatal.
+Absent ASSETS are reported, not fatal; a failed validation IS fatal.
 """
 from __future__ import annotations
 
@@ -31,6 +36,10 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from ..models import UNetConfig, unet_apply
 from ..models.torch_convert import load_torch_checkpoint
@@ -69,6 +78,7 @@ def find_real_assets(extra_dirs=()):
     for name, rel in CKPT_MAP.items():
         out[name] = _find([os.path.basename(rel)], dirs)
     out["pt_inception"] = _find(_INCEPTION_NAMES, dirs)
+    out["fid_stats"] = _find(["fid_stats_*.npz", "*_fid_stats.npz"], dirs)
     return out
 
 
@@ -79,19 +89,27 @@ def verify_md5(name: str, path: str) -> bool:
     return md5_hash(path) == want
 
 
-def golden_check(ckpt_path: str, params, cfg: UNetConfig, ema: bool, tol: float = 5e-4):
+def golden_check(ckpt_path: str, params, cfg: UNetConfig, ema: bool, tol: float = 5e-4,
+                 required: bool = True):
     """Load the REAL state dict into the repo's independent torch oracle
     (tests/torch_oracle.py — the original DDIM graph, written from the
     papers) and compare its eps against the converted JAX forward on the
-    same input.  Returns max |Δeps|, or None when the oracle isn't
-    importable (e.g. installed package without the tests/ tree)."""
+    same input.  Returns max |Δeps|.  The oracle is the whole point of the
+    on-ramp: when it can't be imported this RAISES (pass required=False /
+    --skip_oracle to downgrade to a loud skip)."""
     tests_dir = os.path.join(os.path.dirname(__file__), "..", "..", "tests")
     sys.path.insert(0, os.path.abspath(tests_dir))
     try:
         import torch
         from torch_oracle import TorchDDIMUNet  # type: ignore
     except Exception as e:
-        print(f"  torch oracle unavailable ({e}) — skipping golden check")
+        if required:
+            raise RuntimeError(
+                f"torch oracle unavailable ({e}) — the golden check is mandatory; "
+                "run from a checkout with tests/ and torch installed, or pass "
+                "--skip_oracle to proceed without validation"
+            ) from e
+        print(f"  torch oracle unavailable ({e}) — skipping golden check (--skip_oracle)")
         return None
     finally:
         sys.path.pop(0)
@@ -114,9 +132,12 @@ def golden_check(ckpt_path: str, params, cfg: UNetConfig, ema: bool, tol: float 
     t = np.array([10.0, 500.0], np.float32)
     with torch.no_grad():
         theirs = net(torch.from_numpy(x), torch.from_numpy(t)).numpy()
-    ours = np.asarray(
-        unet_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
-    ).transpose(0, 3, 1, 2)
+    # the golden check is a correctness authority: pin full-precision matmuls
+    # (TPU defaults to bf16 MXU passes, which alone costs ~1e-2 here)
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(
+            unet_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+        ).transpose(0, 3, 1, 2)
     diff = float(np.abs(ours - theirs).max())
     status = "OK" if diff < tol else "MISMATCH"
     print(f"  golden check vs torch oracle: max|Δeps| = {diff:.2e}  [{status}]")
@@ -130,6 +151,17 @@ def main():
     ap.add_argument("--sample_batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--out", default="real_ckpt_report.json")
+    ap.add_argument("--skip_oracle", action="store_true",
+                    help="downgrade a missing torch oracle to a loud skip")
+    ap.add_argument("--config", default=None,
+                    help="config YAML overriding the name-derived UNetConfig "
+                         "(also how the test dry-runs the chain on a toy model)")
+    ap.add_argument("--fid", type=int, default=0, metavar="N",
+                    help="sample N images and run the full statistics->Frechet "
+                         "path (e.g. 50000; requires pt_inception)")
+    ap.add_argument("--ref_stats", default=None,
+                    help="reference statistics .npz (mu/sigma); discovered "
+                         "fid_stats_*.npz is used when absent")
     args = ap.parse_args()
 
     assets = find_real_assets(args.dir)
@@ -147,17 +179,27 @@ def main():
         return
 
     ok = verify_md5(args.name, ckpt)
-    print(f"\n[1/4] md5 {'verified' if ok else 'MISMATCH'} for {ckpt}")
+    print(f"\n[1/5] md5 {'verified' if ok else 'MISMATCH'} for {ckpt}")
     report["md5_ok"] = ok
 
-    cfg = UNetConfig()  # cifar10; LSUN names would pass their config here
-    if "lsun" in args.name:
+    if args.config:
+        from ..config import load_config
+
+        cfg = UNetConfig.from_config(load_config(args.config))
+    elif "lsun" in args.name:
         cfg = UNetConfig(resolution=256, ch_mult=(1, 1, 2, 2, 4, 4), attn_resolutions=(16,))
+    else:
+        cfg = UNetConfig()  # cifar10
     ema = args.name.startswith("ema_")
     params = load_torch_checkpoint(ckpt, cfg, ema=ema)
-    print("[2/4] converted torch checkpoint by name")
-    diff = golden_check(ckpt, params, cfg, ema)
+    print("[2/5] converted torch checkpoint by name")
+    diff = golden_check(ckpt, params, cfg, ema, required=not args.skip_oracle)
     report["golden_max_abs_diff"] = diff
+    if diff is not None and diff >= 5e-4:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        sys.exit(f"golden check FAILED: max|Δeps| = {diff:.2e} >= 5e-4 — "
+                 "the conversion does not reproduce the reference forward")
 
     from ..diffusion import DiffusionSchedule, ddim_sample, make_timestep_seq
 
@@ -170,7 +212,7 @@ def main():
         lambda p, x: ddim_sample(lambda xt, t, i: unet_apply(p, cfg, xt, t), x, seq, sched.betas)
     )(params, x)
     finite = bool(jnp.isfinite(xf).all())
-    print(f"[3/4] DDIM-{args.steps} sampling from the real checkpoint: finite={finite}")
+    print(f"[3/5] DDIM-{args.steps} sampling from the real checkpoint: finite={finite}")
     report["sampling_finite"] = finite
     from ..utils import save_image_grid
 
@@ -182,11 +224,65 @@ def main():
 
         net = InceptionV3FID.from_torch(inc_path)
         feats = np.asarray(net.extract(jnp.clip((xf + 1) / 2, 0, 1)))
-        print(f"[4/4] canonical Inception features extracted: {feats.shape} "
-              f"(full FID: main.py --fid + python -m attentiondm_tpu.eval.fid)")
+        print(f"[4/5] canonical Inception features extracted: {feats.shape}")
         report["inception_feat_dim"] = int(feats.shape[-1])
     else:
-        print("[4/4] pt_inception absent — KID-proxy remains the fallback metric")
+        print("[4/5] pt_inception absent — KID-proxy remains the fallback metric")
+
+    if args.fid > 0:
+        if inc_path is None:
+            sys.exit("--fid requires pt_inception weights (canonical FID authority)")
+        from ..eval.fid import calculate_frechet_distance, sharded_statistics
+
+        sample = jax.jit(
+            lambda p, x: ddim_sample(
+                lambda xt, t, i: unet_apply(p, cfg, xt, t), x, seq, sched.betas
+            )
+        )
+        n_batches = (args.fid + args.sample_batch - 1) // args.sample_batch
+        key = jax.random.PRNGKey(1234)
+
+        def batches():
+            # stream: sample -> [0,1] images -> on-device stat accumulation;
+            # only mu [D] and sigma [D,D] ever come back to host
+            for i in range(n_batches):
+                x0 = jax.random.normal(
+                    jax.random.fold_in(key, i),
+                    (args.sample_batch, cfg.resolution, cfg.resolution, 3),
+                )
+                yield jnp.clip((sample(params, x0) + 1) / 2, 0, 1)
+
+        mu, sigma = sharded_statistics(
+            batches(), net.extract, batch_size=args.sample_batch
+        )
+        stats_out = os.path.splitext(args.out)[0] + "_stats.npz"
+        np.savez(stats_out, mu=mu, sigma=sigma)
+        print(f"[5/5] statistics over {n_batches * args.sample_batch} samples -> {stats_out}")
+        report["fid_n"] = n_batches * args.sample_batch
+        ref_stats = args.ref_stats or assets.get("fid_stats")
+        if ref_stats:
+            ref = np.load(ref_stats)
+            sig1, sig2 = sigma, ref["sigma"]
+            if report["fid_n"] < sig1.shape[0]:
+                # rank-deficient covariance (n < 2048 features): sqrtm of the
+                # product goes complex.  tr((s1 s2)^1/2) = sum sqrt(eigvals)
+                # is exact for PSD inputs and stable — smoke-scale only; real
+                # scoring (n >= 2048, e.g. 50k) stays on the canonical recipe.
+                print(f"      note: n={report['fid_n']} < {sig1.shape[0]} features — "
+                      "eigenvalue-form Frechet (smoke-scale FID only)")
+                d = mu - ref["mu"]
+                ev = np.linalg.eigvals(sig1 @ sig2)
+                fid = float(d @ d + np.trace(sig1) + np.trace(sig2)
+                            - 2.0 * np.sqrt(np.clip(ev.real, 0, None)).sum())
+            else:
+                fid = calculate_frechet_distance(mu, sig1, ref["mu"], sig2)
+            print(f"      FID vs {os.path.basename(ref_stats)}: {fid:.3f}")
+            report["fid"] = float(fid)
+        else:
+            print("      no reference fid_stats_*.npz discovered — saved stats "
+                  "for later scoring (python -m attentiondm_tpu.eval.fid)")
+    else:
+        print("[5/5] skipped (--fid 0); full serving-path 50k: main.py --fid")
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -22,6 +22,78 @@ def test_find_real_assets_discovers_supplied_files(tmp_path):
     assert not verify_md5("cifar10", assets["cifar10"])
 
 
+def test_full_chain_dry_run_on_synthetic_assets(tmp_path):
+    """The ENTIRE on-ramp — discovery, conversion, mandatory golden check,
+    sampling, canonical-Inception statistics, Frechet vs reference stats —
+    exercised end to end with locally generated fake assets of the right
+    schema (VERDICT r3 item 7: the tool itself is tested, so the day the
+    real files arrive only the bytes change)."""
+    import numpy as np
+    import torch
+
+    from tests.torch_inception_oracle import TorchFIDInception, randomize_
+    from tests.torch_oracle import TorchDDIMUNet
+
+    # toy config YAML (same schema as configs/cifar10.yml)
+    cfg_yml = tmp_path / "toy.yml"
+    cfg_yml.write_text(
+        "data:\n    dataset: CIFAR10\n    image_size: 16\n    channels: 3\n"
+        "model:\n    in_channels: 3\n    out_ch: 3\n    ch: 32\n"
+        "    ch_mult: [1, 2]\n    num_res_blocks: 1\n    attn_resolutions: [8]\n"
+        "    dropout: 0.0\n    resamp_with_conv: True\n"
+    )
+    # fake checkpoint: the independent torch oracle's state dict has the real
+    # DDIM key layout, so conversion + golden check run exactly as they would
+    # on model-790000.ckpt
+    net = TorchDDIMUNet(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                        attn_resolutions=(8,), resolution=16)
+    torch.save(net.state_dict(), str(tmp_path / "model-790000.ckpt"))
+    # fake canonical Inception weights (pt_inception key schema)
+    torch.save(randomize_(TorchFIDInception(), seed=3).state_dict(),
+               str(tmp_path / "pt_inception-2015-12-05-6726825d.pth"))
+    # fake reference statistics
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((8, 2048)).astype(np.float64)
+    np.savez(tmp_path / "fid_stats_cifar10_train.npz",
+             mu=a.mean(0), sigma=np.cov(a, rowvar=False))
+
+    # strip the axon sitecustomize: its plugin registration overrides
+    # JAX_PLATFORMS, so the subprocess would silently run on the real chip
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    out = tmp_path / "report.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "attentiondm_tpu.tools.real_ckpt",
+         "--name", "cifar10", "--dir", str(tmp_path), "--config", str(cfg_yml),
+         "--steps", "4", "--sample_batch", "4", "--fid", "8",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=1800, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    import json
+
+    rep = json.loads(out.read_text())
+    assert rep["golden_max_abs_diff"] is not None and rep["golden_max_abs_diff"] < 5e-4
+    assert rep["sampling_finite"] is True
+    assert rep["inception_feat_dim"] == 2048
+    assert rep["fid_n"] == 8
+    assert np.isfinite(rep["fid"])
+    assert os.path.exists(str(out)[:-5] + "_stats.npz")
+
+
+def test_golden_check_is_mandatory(monkeypatch):
+    """An unimportable oracle RAISES by default (VERDICT r3: 'fail loudly if
+    torch is missing'); required=False (--skip_oracle) downgrades to None."""
+    from attentiondm_tpu.tools.real_ckpt import golden_check
+
+    # sys.modules[name] = None makes `from torch_oracle import ...` raise
+    monkeypatch.setitem(sys.modules, "torch_oracle", None)
+    with pytest.raises(RuntimeError, match="golden check is mandatory"):
+        golden_check("/nonexistent.ckpt", None, None, ema=False, required=True)
+    assert golden_check("/nonexistent.ckpt", None, None, ema=False, required=False) is None
+
+
 _REAL = find_real_assets()
 
 
