@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..checkpoint import save_checkpoint
-from ..data.synthetic import synthetic_batch
+from ..data.synthetic import natural_batch, synthetic_batch
 from ..diffusion import DiffusionSchedule
 from ..models import UNetConfig, unet_init
 from ..training import get_optimizer, init_train_state, make_train_step
@@ -38,6 +38,7 @@ def train(
     log_every: int = 200,
     out: str | None = None,
     resume: str | None = None,
+    dist: str = "procedural",
 ):
     cfg = cfg or UNetConfig()  # CIFAR-10 flagship: 35.7M params
     sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
@@ -65,12 +66,13 @@ def train(
         donate_argnums=(0,),
     )
 
+    data_fn = {"procedural": synthetic_batch, "natural": natural_batch}[dist]
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     losses = []
     for i in range(steps):
         key, kd, ks = jax.random.split(key, 3)
-        x0 = synthetic_batch(kd, batch, cfg.resolution)
+        x0 = data_fn(kd, batch, cfg.resolution)
         state, loss = step_fn(state, x0, ks)
         if (i + 1) % log_every == 0:
             # pull the loss scalar to host — also the honest sync point
@@ -97,6 +99,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--dist", type=str, default="procedural",
+                    choices=["procedural", "natural"],
+                    help="training distribution: procedural shapes, or "
+                         "natural statistics (1/f^alpha spectrum, opponent-"
+                         "color covariance, lognormal contrast — realistic "
+                         "activation outliers for the quality protocol)")
     args = ap.parse_args()
     train(
         steps=args.steps,
@@ -106,6 +114,7 @@ def main():
         seed=args.seed,
         out=args.out,
         resume=args.resume,
+        dist=args.dist,
     )
 
 

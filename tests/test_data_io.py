@@ -45,6 +45,32 @@ def test_synthetic_dataset_and_loader():
     np.testing.assert_array_equal(batches[0][0], b2[0][0])
 
 
+def test_natural_batch_statistics():
+    """The natural-statistics distribution (VERDICT r3 item 6) must show the
+    three properties the quality protocol needs: a ~1/f^2 power spectrum, a
+    heavy contrast tail (some images clip hard), and per-image contrast
+    spread — none of which the procedural shapes have."""
+    import jax
+
+    from attentiondm_tpu.data.synthetic import natural_batch
+
+    x = np.asarray(natural_batch(jax.random.PRNGKey(0), 64, 32))
+    assert x.shape == (64, 32, 32, 3)
+    assert np.isfinite(x).all() and x.min() >= -1.0 and x.max() <= 1.0
+    # heavy tail: a real fraction of pixels sits at the clip boundary
+    assert 0.01 < (np.abs(x) >= 0.999).mean() < 0.5
+    # 1/f^alpha spectrum on luminance, alpha in the natural-image band
+    lum = x.mean(-1)
+    F = np.abs(np.fft.fft2(lum)) ** 2
+    f = np.sqrt(np.fft.fftfreq(32)[:, None] ** 2 + np.fft.fftfreq(32)[None, :] ** 2)
+    m = (f > 0.03) & (f < 0.45)
+    slope = np.polyfit(np.log(f[m]), np.log(F.mean(0)[m]), 1)[0]
+    assert -2.6 < slope < -1.2, slope
+    # contrast varies across images (lognormal gain)
+    stds = x.std(axis=(1, 2, 3))
+    assert stds.max() / stds.min() > 2.0
+
+
 def test_prefetch_loader_matches_sync():
     """workers=N must produce byte-identical batches to workers=0, for any
     worker/prefetch depth (whole-batch jobs consumed in submission order)."""
