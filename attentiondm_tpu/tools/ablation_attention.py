@@ -176,6 +176,13 @@ def main(argv=None):
     ap.add_argument("--num-samples", type=int, default=64)
     ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"])
     ap.add_argument("--inception-weights", default=None)
+    ap.add_argument("--clip-weights", default=None,
+                    help="local HuggingFace CLIP checkpoint dir (canonical "
+                         "CLIP score; reference ablation_study_attention_"
+                         "quantization.py:409-493)")
+    ap.add_argument("--clip-random", action="store_true",
+                    help="seeded random-init CLIP (zero-egress fallback; "
+                         "scores comparable within this run only)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -187,11 +194,22 @@ def main(argv=None):
         from ..eval.inception import InceptionV3FID
 
         extractor = InceptionV3FID.from_torch(args.inception_weights).extract
+    clip_scorer = None
+    if args.clip_weights:
+        from ..eval.clip_score import make_clip_scorer
+
+        clip_scorer = make_clip_scorer(args.clip_weights)
+    elif args.clip_random:
+        from ..eval.clip_score import make_random_clip_scorer
+
+        logging.info("CLIP: seeded random-init (within-run comparison only)")
+        clip_scorer = make_random_clip_scorer()
     res = run_attention_ablation(
         config,
         args.out,
         params=params,
         extractor=extractor,
+        clip_scorer=clip_scorer,
         ablation_cfg=AblationConfig(
             sampler=args.sampler, steps=args.steps, num_samples=args.num_samples
         ),
