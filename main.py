@@ -117,7 +117,11 @@ def parse_args_and_config():
                              "rounding + bias correction (default; measured 28.4 dB "
                              "vs AdaRound's 19.6 at W4A8), AdaRound rounding "
                              "optimization + bias correction, bias correction only, "
-                             "or plain round-to-nearest")
+                             "or plain round-to-nearest. GPTQ Grams are collected "
+                             "in chunked passes up to K=kh*kw*cin<=12288 (covers "
+                             "every layer of every shipped config); larger layers "
+                             "fall back to bias-corrected rounding with a logged "
+                             "advisory")
     parser.add_argument("--weight_refine", type=str, default="perstep",
                         choices=["off", "shared", "perstep"],
                         help="trajectory-distilled fold refinement after the weight "
