@@ -44,6 +44,14 @@ def _pick_block_b(per_image_bytes: int, budget: int = 4 * 1024 * 1024) -> int:
     return min(p, 8)
 
 
+def gn_act_quant_fits(HW: int, C: int) -> bool:
+    """True when `gn_act_quant` takes its single-pass Pallas path (whole
+    image in VMEM: 4-byte f32 in + 1-byte int8 out per element).  Exported so
+    callers that pre-fuse the entry (quant/int8_serving._entry_gn_quant) gate
+    on the SAME condition instead of duplicating the literal."""
+    return HW * C * 5 <= 4 * 1024 * 1024
+
+
 def _group_onehots(C: int, groups: int):
     """[C, G] one-hot (channel -> its group) and its transpose, f32.
 
@@ -118,7 +126,7 @@ def gn_act_quant(
     orig_shape = x.shape
     B, C = x.shape[0], x.shape[-1]
     HW = int(np.prod(x.shape[1:-1]))
-    if HW * C * 5 > 4 * 1024 * 1024:
+    if not gn_act_quant_fits(HW, C):
         return gn_act_quant_reference(x, gn_scale, gn_bias, quant_params, groups=groups, act=act)
     x3 = x.reshape(B, HW, C)
 
@@ -201,7 +209,11 @@ def epilogue_gn_swish_quant(
     orig_shape = dot.shape
     B, N = dot.shape[0], dot.shape[-1]
     HW = int(np.prod(dot.shape[1:-1]))
-    if HW * N * 5 > 4 * 1024 * 1024:
+    # size VMEM fit from the actual input width: int32 accumulators are
+    # 4 B/elt but the dot_bf16 path feeds 2 B/elt, which both fits bigger
+    # shapes and halves bytes_accessed (ADVICE r3)
+    in_b = jnp.dtype(dot.dtype).itemsize
+    if HW * N * (in_b + 1) > 4 * 1024 * 1024:
         # whole-image blocks won't fit VMEM (256x256 LSUN shapes):
         # spatially-blocked two-pass Pallas variant (no full-size f32
         # intermediates); XLA two-pass only for off-lane-grid channel counts
@@ -223,7 +235,7 @@ def epilogue_gn_swish_quant(
     sq = jnp.stack([act_scale.astype(jnp.float32), act_zp.astype(jnp.float32)])
     n = 2 ** (a_bit - 1)
 
-    bb = _pick_block_b(HW * N * 5)
+    bb = _pick_block_b(HW * N * (in_b + 1))
     Bp = (B + bb - 1) // bb * bb
     if Bp != B:
         d3 = jnp.pad(d3, ((0, Bp - B), (0, 0), (0, 0)))
@@ -246,7 +258,7 @@ def epilogue_gn_swish_quant(
         out_shape=jax.ShapeDtypeStruct((Bp, HW, N), jnp.int8),
         cost_estimate=pl.CostEstimate(
             flops=Bp * HW * N * 18,
-            bytes_accessed=Bp * HW * N * 5,
+            bytes_accessed=Bp * HW * N * (in_b + 1),
             transcendentals=Bp * HW * N,
         ),
         interpret=interpret,

@@ -428,11 +428,11 @@ def _entry_gn_quant(h_res, gn_p, quant_params, *, sums=None, entry_pallas=False)
     whole-image VMEM blocks.  With precomputed `sums` (boundary fusion) the
     XLA path is already one-pass, so Pallas buys nothing — use XLA."""
     if entry_pallas and sums is None:
-        from ..ops.fused_gn import gn_act_quant
+        from ..ops.fused_gn import gn_act_quant, gn_act_quant_fits
 
         C = h_res.shape[-1]
         HW = int(np.prod(h_res.shape[1:-1]))
-        if HW * C * 5 <= 4 * 1024 * 1024:
+        if gn_act_quant_fits(HW, C):
             return gn_act_quant(h_res, gn_p["scale"], gn_p["bias"], quant_params)
     return gn_act_quant_xla(h_res, gn_p, quant_params, sums=sums)
 
@@ -709,7 +709,7 @@ def serving_unet_apply(
     attn_int8: bool = True,
     attn_ranges=None,
     boundary_fusion: bool = False,
-    dot_bf16: bool = False,
+    dot_bf16: bool = True,
     entry_pallas: bool = False,
     mp_states=None,
     mp_base_bits: int = 8,
@@ -884,15 +884,31 @@ def serving_ddim_sampler(
     attn_ranges=None,
     weight_extras=None,
     boundary_fusion: bool = False,
-    dot_bf16: bool = False,
+    dot_bf16: bool = True,
     entry_pallas: bool = False,
     pack_int4: bool = False,
     rank1: bool = False,
     update: str = "ddim",
     mp_states=None,
     mp_base_bits: int = 8,
+    runtime: Dict[str, ServingLayer] | None = None,
 ):
     """Build a jitted sampler over the fused int8 serving path.
+
+    `runtime` (unchunked mode only): a prebuilt `prepare_serving_runtime`
+    tree to reuse.  The folded weights are ~S x params int8 — callers
+    building several samplers over the SAME fold (e.g. the A/B lever grid,
+    which only varies compute-path flags) must share one runtime or the
+    copies alone exhaust HBM (7 x 3.5 GB > a v5e's 16 GB).
+
+    `dot_bf16=True` (default since the round-4 lever grid,
+    benchmarks/ab_levers_r4.log): the conv's per-channel dequant+bias folds
+    into its XLA epilogue and the Pallas resblock epilogues read bf16
+    instead of the int32 accumulator — +3.0% interleaved A/B at the
+    headline config, deviation <=1 int8 LSB.  `entry_pallas` measured -7.9%
+    at the same operating point (XLA overlaps the two-pass GN entry better
+    than the one-pass kernel's extra dispatch) and stays opt-in;
+    `boundary_fusion` re-measured neutral (+0.2%).
 
     `update` selects the per-step rule: "ddim" (generalized, `eta`-noised,
     reference functions/denoising.py:15-59) or "ddpm" (ancestral,
@@ -926,6 +942,9 @@ def serving_ddim_sampler(
 
     if update not in ("ddim", "ddpm"):
         raise ValueError(f"update must be 'ddim' or 'ddpm', got {update!r}")
+    if runtime is not None and step_chunk is not None:
+        raise ValueError("a prebuilt runtime holds ALL steps' folds — "
+                         "incompatible with step_chunk's lazy per-chunk folds")
     if rank1 and step_chunk is not None:
         raise ValueError(
             "rank1 shared folds make step_chunk unnecessary (fold HBM is "
@@ -964,10 +983,11 @@ def serving_ddim_sampler(
     seg_jit = jax.jit(_scan_segment)
 
     if step_chunk is None:
-        runtime = prepare_serving_runtime(
-            qunet, params, qstates, symmetric=symmetric, weight_extras=weight_extras,
-            pack_int4=pack_int4, rank1=rank1,
-        )
+        if runtime is None:
+            runtime = prepare_serving_runtime(
+                qunet, params, qstates, symmetric=symmetric, weight_extras=weight_extras,
+                pack_int4=pack_int4, rank1=rank1,
+            )
 
         def sample(x, key=None):
             key = jax.random.PRNGKey(0) if key is None else key
@@ -1011,7 +1031,7 @@ def serving_model_fn(
     attn_int8: bool = True,
     attn_ranges=None,
     boundary_fusion: bool = False,
-    dot_bf16: bool = False,
+    dot_bf16: bool = True,
     entry_pallas: bool = False,
     mp_states=None,
     mp_base_bits: int = 8,

@@ -10,6 +10,11 @@ Variants (CIFAR-10 DDIM-100 W4A8 batch 128, bf16 residual stream):
                   (ops/fused_gn.gn_act_quant): ONE bf16 read of the residual
                   instead of XLA's stats-pass + normalize-pass
   both          — the two combined
+  bf / bf+...   — the same with boundary_fusion=True (exit kernel emits the
+                  next entry's GN sums), so each lever is ALSO measured at
+                  the operating point where the entry is already one-pass
+                  (ADVICE r3: entry_pallas buys nothing once sums exist —
+                  verify that claim instead of assuming it)
 
 All variants are compiled up front and the timing reps interleave so
 chip-state drift through the axon relay hits every variant equally; every
@@ -40,6 +45,9 @@ VARIANTS = {
     "dot_bf16": dict(dot_bf16=True),
     "entry_pallas": dict(entry_pallas=True),
     "both": dict(dot_bf16=True, entry_pallas=True),
+    "bf": dict(boundary_fusion=True),
+    "bf+dot_bf16": dict(boundary_fusion=True, dot_bf16=True),
+    "bf+both": dict(boundary_fusion=True, dot_bf16=True, entry_pallas=True),
 }
 
 
@@ -47,7 +55,7 @@ def main():
     from ..diffusion import DiffusionSchedule, ddim_sample, make_timestep_seq
     from ..models import UNetConfig, unet_apply, unet_init
     from ..quant import QuantizedUNet, calibrate_ranges
-    from ..quant.int8_serving import serving_ddim_sampler
+    from ..quant.int8_serving import prepare_serving_runtime, serving_ddim_sampler
 
     print(jax.devices())
     cfg = UNetConfig()
@@ -64,11 +72,14 @@ def main():
     qunet = QuantizedUNet.create(cfg, bitwidth=4, a_bitwidth=8)
     qstates = calibrate_ranges(qunet, params, qunet.init_state(STEPS), xs_in, seq, first=True)
 
+    # ONE shared fold across all variants — the levers only change the
+    # compute path, and 7 private ~3.5 GB runtimes would exhaust HBM
+    rt = prepare_serving_runtime(qunet, params, qstates)
     samplers = {}
     for name, kw in VARIANTS.items():
         samplers[name] = serving_ddim_sampler(
             qunet, params, qstates, seq, sched.betas,
-            residual_dtype=jnp.bfloat16, attn_int8=False, **kw,
+            residual_dtype=jnp.bfloat16, attn_int8=False, runtime=rt, **kw,
         )
         x = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 32, 32, 3))
         s = float(samplers[name](x).sum())  # compile; host pull = barrier

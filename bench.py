@@ -60,6 +60,9 @@ def main():
     # bf16 residual stream: +18% over f32 residuals; quality-validated by
     # tools/quality_protocol.py (int8_w4a8_bf16res row == int8_w4a8 row to
     # 3 significant digits in eps rel-MSE and PSNR — PERFORMANCE.md).
+    # dot_bf16 (conv dequant folded into the XLA epilogue, bf16 into the
+    # Pallas resblock epilogue) is default-on since the round-4 lever grid:
+    # +3.0% interleaved A/B, <=1 int8 LSB deviation (ab_levers_r4.log).
     #
     # batch 128 is the single-chip throughput optimum (round-3 interleaved
     # sweep over 32..512: 88.9 img/s at 128 vs 75.2 at 256 vs 66.6 at 512 —

@@ -402,13 +402,16 @@ def test_serving_boundary_fusion_matches_interception():
     want = int8_model_fn(qunet, prepare_int8_runtime(qunet, params, qstates), params, qstates)(
         x, t, jnp.asarray(0)
     )
+    # dot_bf16=False: this test isolates the boundary-fusion kernel against
+    # the interception oracle at a 2% tolerance; the (default-on) bf16
+    # epilogue adds its own ~1 LSB rounding which belongs to its own test
     got = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False,
-                           boundary_fusion=True)(x, t, jnp.asarray(0))
+                           boundary_fusion=True, dot_bf16=False)(x, t, jnp.asarray(0))
     rel = float(jnp.abs(got - want).mean() / (jnp.abs(want).mean() + 1e-9))
     assert rel < 0.02, rel
     # default-off path (boundary fusion is opt-in: measured neutral on chip)
-    got_off = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(
-        x, t, jnp.asarray(0))
+    got_off = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False,
+                               dot_bf16=False)(x, t, jnp.asarray(0))
     rel_off = float(jnp.abs(got_off - want).mean() / (jnp.abs(want).mean() + 1e-9))
     assert rel_off < 0.02, rel_off
 
@@ -498,9 +501,9 @@ def test_dot_bf16_close_to_int32_epilogue():
     runtime = prepare_serving_runtime(qunet, params, qstates)
     x = xs[0]
     t = jnp.full((2,), 5.0)
-    base = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(
-        x, t, jnp.asarray(0)
-    )
+    base = serving_model_fn(
+        qunet, runtime, params, qstates, attn_int8=False, dot_bf16=False
+    )(x, t, jnp.asarray(0))
     fast = serving_model_fn(
         qunet, runtime, params, qstates, attn_int8=False, dot_bf16=True
     )(x, t, jnp.asarray(0))
@@ -512,10 +515,57 @@ def test_dot_bf16_close_to_int32_epilogue():
     sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
     seq = [0, 500]
     a = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas,
-                             attn_int8=False)(x)
+                             attn_int8=False, dot_bf16=False)(x)
     b = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas,
                              attn_int8=False, dot_bf16=True,
                              boundary_fusion=True)(x)
+    rel = float(jnp.abs(a - b).mean() / (jnp.abs(a).mean() + 1e-9))
+    assert np.isfinite(rel) and rel < 0.05, rel
+
+
+def test_entry_pallas_close_to_xla_entry(monkeypatch):
+    """`entry_pallas` routes resblock/conv GN entries through the one-pass
+    Pallas kernel (ops/fused_gn.gn_act_quant) — numerics must stay at
+    rounding-tie distance from the XLA two-pass entry, the kernel must
+    actually be TAKEN at a gate-eligible shape, and it must compose with
+    dot_bf16 + the bf16 residual stream through the sampler (the
+    configuration it would ship in).  ADVICE r3 item 1."""
+    import attentiondm_tpu.ops.fused_gn as fgn
+
+    cfg, params, qunet, qstates, xs, _ = _setup()
+    # HW=64, C=128 passes the whole-image VMEM gate
+    assert fgn.gn_act_quant_fits(64, 128)
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    x = xs[0]
+    t = jnp.full((2,), 5.0)
+
+    calls = []
+    real = fgn.gn_act_quant
+    monkeypatch.setattr(fgn, "gn_act_quant", lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    base = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(
+        x, t, jnp.asarray(0)
+    )
+    assert not calls
+    fast = serving_model_fn(
+        qunet, runtime, params, qstates, attn_int8=False, entry_pallas=True,
+        residual_dtype=jnp.bfloat16,
+    )(x, t, jnp.asarray(0))
+    assert calls, "entry_pallas did not reach the Pallas kernel"
+    rel = float(jnp.abs(fast - base).mean() / (jnp.abs(base).mean() + 1e-9))
+    assert rel < 0.05, rel
+
+    # shipping configuration: entry_pallas + dot_bf16 + bf16 residual, jitted
+    # sampler end to end
+    from attentiondm_tpu.diffusion import DiffusionSchedule
+
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    seq = [0, 500]
+    a = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas,
+                             attn_int8=False, residual_dtype=jnp.bfloat16)(x)
+    b = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas,
+                             attn_int8=False, residual_dtype=jnp.bfloat16,
+                             entry_pallas=True, dot_bf16=True)(x)
     rel = float(jnp.abs(a - b).mean() / (jnp.abs(a).mean() + 1e-9))
     assert np.isfinite(rel) and rel < 0.05, rel
 
