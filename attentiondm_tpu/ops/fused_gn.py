@@ -409,16 +409,20 @@ def _epi_apply_kernel(dot_ref, epi_ref, temb_ref, stats_ref, gnp_ref, ohT_ref, s
     out_ref[:] = _quant(xn, sq_ref[0:1, :], sq_ref[1:2, :], n)
 
 
-def _pick_block_hw(HW: int, N: int, budget: int = 2 * 1024 * 1024) -> int:
-    """Largest spatial block (multiple of 8 sublanes, dividing HW) whose int32
-    tile fits the budget.
+def _pick_block_hw(HW: int, N: int, in_itemsize: int = 4) -> int:
+    """Largest spatial block (multiple of 8 sublanes, dividing HW) whose
+    whole VMEM window fits a ~9 MB budget.
 
-    The budget covers only the int32 input tile; the apply kernel also holds
-    ~2 f32 intermediates of the same block plus Mosaic's input double-buffer,
-    so real scoped VMEM is ~4-5x this number.  4 MB overflowed the 16 MB
-    scoped limit at 256x256 batch 8 (s8 out + f32 temps -> 17.9 MB); 2 MB
-    keeps the whole window under ~10 MB."""
-    b = max(8, budget // (4 * N))
+    Per element the apply kernel holds the input tile double-buffered by
+    Mosaic (2 x in_itemsize), ~two f32 intermediates (8 B) and the int8 out
+    (1 B).  The 9 MB budget is the window the round-3 2 MB-input-tile
+    heuristic produced for int32 input (512K elts x 17 B), which measured
+    safely under the 16 MB scoped limit (4 MB tiles overflowed at 17.9 MB).
+    Sizing by the window instead of the input tile lets bf16 input
+    (dot_bf16) take ~1.3x bigger blocks — fewer dispatches, same ceiling."""
+    window_budget = 512 * 1024 * 17  # bytes: the proven-safe round-3 window
+    b = max(8, window_budget // ((2 * in_itemsize + 9) * N))
+    b = max(8, b // 8 * 8)
     b = min(b, HW)
     while HW % b != 0:
         b -= 8
@@ -445,7 +449,8 @@ def epilogue_gn_swish_quant_blocked(
     n = 2 ** (a_bit - 1)
     temb3 = temb.reshape(B, 1, N).astype(jnp.float32)
 
-    bhw = _pick_block_hw(HW, N)
+    in_b = jnp.dtype(dot.dtype).itemsize
+    bhw = _pick_block_hw(HW, N, in_itemsize=in_b)
     nblk = HW // bhw
 
     sums = pl.pallas_call(
@@ -460,7 +465,7 @@ def epilogue_gn_swish_quant_blocked(
         out_specs=pl.BlockSpec((1, 2, g), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2, g), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=B * HW * N * 6, bytes_accessed=4 * B * HW * N, transcendentals=0
+            flops=B * HW * N * 6, bytes_accessed=in_b * B * HW * N, transcendentals=0
         ),
         interpret=interpret,
     )(d3, epi, temb3, onehot)
@@ -486,7 +491,7 @@ def epilogue_gn_swish_quant_blocked(
         out_specs=pl.BlockSpec((1, bhw, N), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, HW, N), jnp.int8),
         cost_estimate=pl.CostEstimate(
-            flops=B * HW * N * 18, bytes_accessed=4 * B * HW * N + B * HW * N, transcendentals=B * HW * N
+            flops=B * HW * N * 18, bytes_accessed=(in_b + 1) * B * HW * N, transcendentals=B * HW * N
         ),
         interpret=interpret,
     )(d3, epi, temb3, stats, gnp, jnp.asarray(onehot).T, sq)

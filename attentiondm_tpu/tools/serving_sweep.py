@@ -63,6 +63,16 @@ def sweep(config_name: str, timesteps: int, batches, step_chunks,
     qstates = calibrate_ranges(qunet, params, qunet.init_state(timesteps),
                                xs_in, seq, first=True)
 
+    # ONE fold shared across every fold-once batch variant: the fold is
+    # S x params int8 (3.5 GB for CIFAR DDIM-100) and depends only on the
+    # quant state, not the batch — private per-variant copies would exhaust
+    # HBM on any multi-batch sweep of an unchunked config.
+    shared_rt = None
+    if None in step_chunks:
+        from ..quant.int8_serving import prepare_serving_runtime
+
+        shared_rt = prepare_serving_runtime(qunet, params, qstates)
+
     samplers = {}
     for B in batches:
         for ck in step_chunks:
@@ -74,6 +84,7 @@ def sweep(config_name: str, timesteps: int, batches, step_chunks,
                     residual_dtype=jnp.bfloat16, attn_int8=attn_int8,
                     step_chunk=None if ck == "shared" else ck,
                     rank1=(ck == "shared"),
+                    runtime=shared_rt if ck is None else None,
                 )
                 x = jax.random.normal(jax.random.PRNGKey(seed + 2), (B, R, R, 3))
                 v = float(s(x).sum())  # compile + fold; host pull = barrier
