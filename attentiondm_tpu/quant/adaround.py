@@ -49,12 +49,35 @@ GRAM_K_CAP = 4800
 # Layers above GRAM_K_CAP are collected in EXTRA memory-budgeted passes
 # (VERDICT r3 item #4: church/bedroom's largest up-blocks, K up to 9*1024 =
 # 9216, previously fell back to round-to-nearest silently).  Only layers
-# above this hard cap are skipped — and loudly.
-GRAM_K_MAX = 12288
+# above this hard cap are skipped — and loudly.  18432 = 9*2048 covers
+# imagenet64's widest up-block conv1 (ch 1024 + 1024 skip concat), the
+# largest K any of the 6 shipped configs produces — no shipped config falls
+# back to RTN anymore (VERDICT r4 item #2).  GPTQ stays tractable at these K
+# via lazy blocked compensation (quant/gptq.py); AdaRound's gram@d objective
+# is O(K^2 co) per iteration — it still runs, just minutes-per-layer slow.
+GRAM_K_MAX = 18432
 # Per-collection-pass budget for the large-K Grams (bytes of f32).  1 GiB
 # fits 2-3 K=9216 Grams per pass; church/bedroom's 7 over-cap layers take
 # 3 passes of `max_steps` forwards each — calibration-time only.
 GRAM_CHUNK_BYTES = 1 << 30
+
+
+def _pack_gram_chunks(large, k_of, chunk_bytes):
+    """Group large-K layer names into collection passes of <= chunk_bytes of
+    f32 Gram each.  A single layer whose Gram alone exceeds the budget (e.g.
+    imagenet64's K=18432 -> 1.36 GB) still gets its own pass — the budget
+    bounds how many Grams coexist, it never drops a layer."""
+    chunks, cur, used = [], [], 0
+    for n in large:
+        b = 4 * k_of[n] ** 2
+        if cur and used + b > chunk_bytes:
+            chunks.append(cur)
+            cur, used = [], 0
+        cur.append(n)
+        used += b
+    if cur:
+        chunks.append(cur)
+    return chunks
 
 
 @jax.tree_util.register_dataclass
@@ -350,16 +373,7 @@ def compute_weight_extras(
     stats = collect_conv_stats(params, qunet.cfg, xs, seq, max_steps=max_steps,
                                names=small + skipped, k_cap=GRAM_K_CAP)
 
-    chunks, cur, used = [], [], 0
-    for n in large:
-        b = 4 * k_of[n] ** 2
-        if cur and used + b > chunk_bytes:
-            chunks.append(cur)
-            cur, used = [], 0
-        cur.append(n)
-        used += b
-    if cur:
-        chunks.append(cur)
+    chunks = _pack_gram_chunks(large, k_of, chunk_bytes)
     for i, ch in enumerate(chunks):
         logging.info("weight_opt: large-K Gram pass %d/%d (%d layers, K up to %d)",
                      i + 1, len(chunks), len(ch), max(k_of[n] for n in ch))

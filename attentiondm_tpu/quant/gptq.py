@@ -36,15 +36,27 @@ from ..ops.quant_conv import weight_grid
 from .adaround import ConvStats
 
 
-@functools.partial(jax.jit, static_argnames=("w_bit", "symmetric", "act_order"))
+@functools.partial(
+    jax.jit, static_argnames=("w_bit", "symmetric", "act_order", "block")
+)
 def _gptq_opt(g, gram, shrink, *, w_bit: int, symmetric: bool,
-              act_order: bool = True, damp: float = 0.01):
+              act_order: bool = True, damp: float = 0.01, block: int = 128):
     """Quantize one scale-folded weight matrix with error compensation.
 
     g      [K, co] scale-folded weights (kernel / act_scale, flattened HWIO)
     gram   [K, K]  normalized input Gram E[x x^T]
     shrink [co]    per-channel range shrink (pinned, same grid as the fold)
     Returns gq [K, co] integer grid values (float32, within [-n, n-1]).
+
+    Compensation is applied lazily in `block`-column batches (the paper's
+    "lazy batch updates", arXiv:2210.17323 §3 step 2): within a block each
+    column's error updates only the block's remaining columns (rank-1, cheap);
+    the accumulated block errors hit the tail in ONE [co,block]@[block,K]
+    matmul.  err_j depends only on column j's value after all i<j updates —
+    every such update lands before j is quantized either way — so blocked and
+    unblocked orders produce bit-identical decisions up to f32 summation
+    order; without blocking, K=18432 (imagenet64's widest up-block) costs
+    K rank-1 passes over the full [co, K] matrix on the VPU.
     """
     K, co = g.shape
     n = 2 ** (w_bit - 1)
@@ -65,20 +77,46 @@ def _gptq_opt(g, gram, shrink, *, w_bit: int, symmetric: bool,
     Hinv = jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(H), True), jnp.eye(K))
     U = jnp.linalg.cholesky(Hinv).T  # upper: U^T U = H^{-1}
 
-    Wt = g.T.astype(jnp.float32)  # [co, K]
-    idx = jnp.arange(K)
+    block = min(block, K)
+    nb = -(-K // block)
+    Kp = nb * block
+    if Kp != K:
+        # padded columns: w=0 and U rows/cols extend as identity, so their
+        # "quantization" produces err*0 rows — inert, sliced off at the end
+        U = jnp.pad(U, ((0, Kp - K), (0, Kp - K)))
+        U = U.at[jnp.arange(K, Kp), jnp.arange(K, Kp)].set(1.0)
+        g = jnp.pad(g, ((0, Kp - K), (0, 0)))
+    Wt = g.T.astype(jnp.float32)  # [co, Kp]
+    jb = jnp.arange(block)
 
-    def body(W, j):
-        w_j = W[:, j]
-        q = jnp.clip(jnp.round(ws * w_j - wzp), -n, n - 1)
-        dq = (q + wzp) / ws
-        err = (w_j - dq) / U[j, j]
-        row = jnp.where(idx > j, U[j], 0.0)
-        W = W - err[:, None] * row[None, :]
-        W = W.at[:, j].set(dq)
-        return W, q
+    def blk(W, inp):
+        Ub, s = inp  # [block, Kp] rows s..s+block of U, block start offset
+        Wb = jax.lax.dynamic_slice(W, (0, s), (co, block))
+        Ubb = jax.lax.dynamic_slice(Ub, (0, s), (block, block))  # diag block
 
-    _, qs = jax.lax.scan(body, Wt, idx)  # [K, co]
+        def inner(carry, j):
+            Wb, Err = carry
+            w_j = Wb[:, j]
+            q = jnp.clip(jnp.round(ws * w_j - wzp), -n, n - 1)
+            dq = (q + wzp) / ws
+            err = (w_j - dq) / Ubb[j, j]
+            row = jnp.where(jb > j, Ubb[j], 0.0)
+            Wb = Wb - err[:, None] * row[None, :]
+            Wb = Wb.at[:, j].set(dq)
+            return (Wb, Err.at[:, j].set(err)), q
+
+        (Wb, Err), qs_b = jax.lax.scan(
+            inner, (Wb, jnp.zeros((co, block), jnp.float32)), jb
+        )
+        # one matmul propagates the whole block's errors to the tail
+        tail = jnp.arange(Kp) >= s + block
+        W = W - Err @ (Ub * tail[None, :])
+        W = jax.lax.dynamic_update_slice(W, Wb, (0, s))
+        return W, qs_b  # qs_b [block, co]
+
+    offs = jnp.arange(nb) * block
+    _, qs = jax.lax.scan(blk, Wt, (U.reshape(nb, block, Kp), offs))
+    qs = qs.reshape(Kp, co)[:K]
     if act_order:
         qs = qs[inv_perm]
     return qs

@@ -54,6 +54,59 @@ def test_correlated_beats_rtn_in_output_space():
     assert float(gq.max()) <= n - 1 and float(gq.min()) >= -n
 
 
+def test_blocked_equals_unblocked():
+    """Lazy-batch blocked compensation (block < K, K % block != 0 so the
+    padding path engages) makes the same integer decisions as single-block
+    classic GPTQ — the r5 change that makes K=18432 (imagenet64) tractable."""
+    key = jax.random.PRNGKey(5)
+    K, co, m = 100, 12, 2048
+    basis = jax.random.normal(key, (6, K))
+    coef = jax.random.normal(jax.random.PRNGKey(6), (m, 6))
+    x = coef @ basis + 0.05 * jax.random.normal(jax.random.PRNGKey(7), (m, K))
+    H = (x.T @ x) / m
+    g = jax.random.normal(jax.random.PRNGKey(8), (K, co))
+    shrink = jnp.ones((co,))
+    ref = _gptq_opt(g, H, shrink, w_bit=4, symmetric=True, block=K)
+    blk = _gptq_opt(g, H, shrink, w_bit=4, symmetric=True, block=16)
+    assert float(jnp.abs(ref - blk).max()) == 0.0
+
+
+def test_every_shipped_config_is_within_gram_k_max():
+    """No shipped config's largest conv exceeds GRAM_K_MAX anymore — the
+    round-4 gap was imagenet64's up-block conv1 at K = 9*2048 = 18432
+    silently falling back to RTN (VERDICT r4 item #2)."""
+    import glob
+    import os
+
+    from attentiondm_tpu.config import load_config
+    from attentiondm_tpu.models.unet import UNetConfig, iter_conv_layers
+    from attentiondm_tpu.quant.adaround import GRAM_K_MAX
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..",
+                           "attentiondm_tpu", "configs")
+    ymls = sorted(glob.glob(os.path.join(cfg_dir, "*.yml")))
+    assert len(ymls) >= 6
+    seen_18432 = False
+    for path in ymls:
+        if "ablation" in path:
+            continue  # flat schema, not a model/data namespace
+        cfg = UNetConfig.from_config(load_config(path))
+        k_max = max(k * k * cin for _n, cin, k in iter_conv_layers(cfg))
+        assert k_max <= GRAM_K_MAX, (path, k_max)
+        seen_18432 |= k_max == 18432
+    assert seen_18432  # imagenet64 really is the binding case
+
+
+def test_pack_gram_chunks_oversized_layer_gets_own_pass():
+    from attentiondm_tpu.quant.adaround import _pack_gram_chunks
+
+    k_of = {"a": 6000, "b": 18432, "c": 6000}
+    # 18432^2 * 4 = 1.36 GB > 1 GiB budget: still packed, alone in a pass
+    chunks = _pack_gram_chunks(["a", "b", "c"], k_of, 1 << 30)
+    assert [n for ch in chunks for n in ch] == ["a", "b", "c"]
+    assert ["b"] in chunks
+
+
 def test_gptq_offsets_integration():
     """compute_weight_extras(method='gptq') offsets deploy through the
     serving fold and reduce the true per-layer output error vs RTN."""
