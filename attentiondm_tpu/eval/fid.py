@@ -39,6 +39,22 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
 
 
+def frechet_smoke_safe(mu1, sigma1, mu2, sigma2, n1):
+    """Frechet distance that stays real-valued at smoke scale.
+
+    With fewer samples than feature dims (n1 < D) sigma1 is rank-deficient
+    and sqrtm(S1 S2) goes complex; tr((S1 S2)^1/2) = sum sqrt(eigvals) is
+    exact for PSD inputs and stable.  Real scoring (n >= D, e.g. 50k) stays
+    on the canonical pytorch-fid recipe (calculate_frechet_distance).
+    """
+    if n1 >= sigma1.shape[0]:
+        return calculate_frechet_distance(mu1, sigma1, mu2, sigma2)
+    d = np.asarray(mu1) - np.asarray(mu2)
+    ev = np.linalg.eigvals(np.asarray(sigma1) @ np.asarray(sigma2))
+    return float(d @ d + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * np.sqrt(np.clip(ev.real, 0, None)).sum())
+
+
 def get_activations(images_iter, extract_fn, batch_size=64):
     """Features for a stream of [N,H,W,C] float[0,1] arrays -> [total, D]."""
     jitted = jax.jit(extract_fn)

@@ -162,7 +162,12 @@ _LAYOUT = [
 
 def _init_basic(key, cin, cout, k, dtype=jnp.float32):
     kh = k if isinstance(k, tuple) else (k, k)
-    std = 0.1 / math.sqrt(kh[0] * kh[1] * cin)
+    # He init: variance-preserving through ~90 ReLU conv layers.  The old
+    # 0.1/sqrt(fan_in) shrank activations ~14x per layer — random-init
+    # features collapsed to ~1e-19 and every FID degenerated to 0, making
+    # even "relative-only" comparisons meaningless (caught by the r5
+    # generate->score verify drive).
+    std = math.sqrt(2.0 / (kh[0] * kh[1] * cin))
     return {
         "conv": {"kernel": jax.random.normal(key, (kh[0], kh[1], cin, cout), dtype) * std},
         "bn": {

@@ -818,6 +818,8 @@ class Diffusion:
                 logging.info(
                     f"{img_id}/{total} images ({rate:.1f} img/s, {rate/n_dev:.1f} img/s/chip)"
                 )
+            if getattr(args, "fid_stats", None):
+                self._score_fid(mesh)
             return
 
         if args.interpolation:
@@ -853,6 +855,46 @@ class Diffusion:
             save_image(imgs[i], os.path.join(args.image_folder, f"sample_{i}.png"))
         save_image_grid(imgs, os.path.join(args.image_folder, "grid.png"))
         logging.info(f"saved {imgs.shape[0]} samples to {args.image_folder}")
+
+    def _score_fid(self, mesh=None):
+        """Close the generate->score loop in one process (--fid_stats):
+        sharded on-device Inception statistics over the generated folder,
+        Frechet distance against the reference stats (.npz or image dir).
+
+        Implements the generate->score flow the reference README promises
+        (README.md:48-54 + sample_cifar.sh) as ONE command instead of a
+        second `python -m pytorch_fid` invocation.  Canonical FID needs
+        --inception_weights (the pt_inception checkpoint,
+        pytorch-fid-master/src/pytorch-fid/inception.py:13); without it a
+        seeded random-init net gives relative-only numbers.
+        """
+        args = self.args
+        from ..eval import fid as fid_eval
+        from ..eval.inception import InceptionV3FID
+
+        w = getattr(args, "inception_weights", None)
+        if w:
+            net = InceptionV3FID.from_torch(w)
+        else:
+            logging.warning(
+                "--fid_stats without --inception_weights: scoring with a "
+                "seeded random-init Inception — comparable only to stats "
+                "from the same random net, NOT canonical FID")
+            net = InceptionV3FID.random()
+        t0 = time.time()
+        mu1, s1 = fid_eval.compute_statistics_of_path(args.fid_stats, net.extract)
+        mu2, s2 = fid_eval.sharded_statistics(
+            fid_eval._iter_image_dir(args.image_folder, 256), net.extract,
+            mesh=mesh)
+        n_gen = sum(
+            len(glob.glob(os.path.join(args.image_folder, f"*.{ext}")))
+            for ext in fid_eval.IMAGE_EXTENSIONS)
+        fid = fid_eval.frechet_smoke_safe(mu2, s2, mu1, s1, n_gen)
+        logging.info(
+            f"FID({args.image_folder} vs {args.fid_stats}) = {fid:.4f} "
+            f"(n={n_gen}, scored in {time.time() - t0:.1f}s)")
+        print(f"FID: {fid:.4f}")
+        return fid
 
     def _interpolation(self, apply, mstate, seq, key):
         """Spherical interpolation in noise space (implements the --interpolation

@@ -232,7 +232,7 @@ def main():
     if args.fid > 0:
         if inc_path is None:
             sys.exit("--fid requires pt_inception weights (canonical FID authority)")
-        from ..eval.fid import calculate_frechet_distance, sharded_statistics
+        from ..eval.fid import frechet_smoke_safe, sharded_statistics
 
         sample = jax.jit(
             lambda p, x: ddim_sample(
@@ -262,20 +262,10 @@ def main():
         ref_stats = args.ref_stats or assets.get("fid_stats")
         if ref_stats:
             ref = np.load(ref_stats)
-            sig1, sig2 = sigma, ref["sigma"]
-            if report["fid_n"] < sig1.shape[0]:
-                # rank-deficient covariance (n < 2048 features): sqrtm of the
-                # product goes complex.  tr((s1 s2)^1/2) = sum sqrt(eigvals)
-                # is exact for PSD inputs and stable — smoke-scale only; real
-                # scoring (n >= 2048, e.g. 50k) stays on the canonical recipe.
-                print(f"      note: n={report['fid_n']} < {sig1.shape[0]} features — "
+            if report["fid_n"] < sigma.shape[0]:
+                print(f"      note: n={report['fid_n']} < {sigma.shape[0]} features — "
                       "eigenvalue-form Frechet (smoke-scale FID only)")
-                d = mu - ref["mu"]
-                ev = np.linalg.eigvals(sig1 @ sig2)
-                fid = float(d @ d + np.trace(sig1) + np.trace(sig2)
-                            - 2.0 * np.sqrt(np.clip(ev.real, 0, None)).sum())
-            else:
-                fid = calculate_frechet_distance(mu, sig1, ref["mu"], sig2)
+            fid = frechet_smoke_safe(mu, sigma, ref["mu"], ref["sigma"], report["fid_n"])
             print(f"      FID vs {os.path.basename(ref_stats)}: {fid:.3f}")
             report["fid"] = float(fid)
         else:

@@ -38,6 +38,12 @@ def parse_args_and_config():
     parser.add_argument("--test", action="store_true", help="Whether to test the model")
     parser.add_argument("--sample", action="store_true", help="Produce samples from the model")
     parser.add_argument("--fid", action="store_true", help="Bulk generation for FID (50k default)")
+    parser.add_argument("--fid_stats", type=str, default=None,
+                        help="reference stats (.npz) or image dir: score the --fid run "
+                             "in-process after generation (generate->score in one command)")
+    parser.add_argument("--inception_weights", type=str, default=None,
+                        help="pt_inception torch checkpoint for --fid_stats scoring "
+                             "(omit: seeded random-init net, relative comparisons only)")
     parser.add_argument("--interpolation", action="store_true")
     parser.add_argument("--resume_training", action="store_true")
     parser.add_argument("-i", "--image_folder", type=str, default="images", help="Folder name for samples")
