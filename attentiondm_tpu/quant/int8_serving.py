@@ -418,6 +418,30 @@ def _identity_epi(lay_i: ServingLayer):
     return jnp.ones_like(lay_i.inv_ws), jnp.zeros_like(lay_i.zcbias)
 
 
+def _conv3_bf16(xq, zp, a_bit, lay_i: ServingLayer, *, conv_pallas: bool):
+    """3x3 int8 conv -> pre-dequantized bf16 (the dot_bf16 layout).
+
+    `conv_pallas` routes through the implicit-im2col Pallas kernel
+    (ops/pallas_conv.py) when the shape fits: the 9 taps run as MXU matmuls
+    from one VMEM-resident input tile and the dequant+bias epilogue is fused
+    so the int32 accumulator never exists in HBM.  Falls back to the XLA
+    conv (whose own output fusion absorbs `_predequant_bf16`) otherwise."""
+    if conv_pallas:
+        from ..ops.pallas_conv import conv3_pallas_fits, int8_conv3_pallas
+
+        B, H, W, C = xq.shape
+        Cp = lay_i.gq.shape[0] // 9
+        Np = lay_i.gq.shape[-1]
+        if conv3_pallas_fits(B, H, W, Cp, Np):
+            xp = _pad_qzero(xq, zp, a_bit)
+            if Cp != C:
+                xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
+            return int8_conv3_pallas(
+                xp, lay_i.gq, lay_i.inv_ws, lay_i.zcbias, out_dtype=jnp.bfloat16
+            )
+    return _predequant_bf16(int8_conv3_qzero(xq, zp, a_bit, lay_i.gq), lay_i)
+
+
 def _entry_gn_quant(h_res, gn_p, quant_params, *, sums=None, entry_pallas=False):
     """Resblock/conv entry: GN -> swish -> quantize.
 
@@ -439,7 +463,7 @@ def _entry_gn_quant(h_res, gn_p, quant_params, *, sums=None, entry_pallas=False)
 
 def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, res_dtype,
                     entry_sums=None, want_exit_stats=False, dot_bf16=False,
-                    entry_pallas=False):
+                    entry_pallas=False, conv_pallas=False):
     """norm1->swish->conv1->(+temb)->norm2->swish->conv2 (+shortcut), fused.
 
     Graph identical to models/unet.py::_resblock_apply (inference, no
@@ -463,22 +487,24 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
     if fused:
         (hq,) = _entry_gn_quant(h_res, p["norm1"], [(c1.act_scale, c1.act_zp, a1.a_bit)],
                                 sums=entry_sums, entry_pallas=entry_pallas)
-        dot1 = int8_conv3_qzero(hq, c1.act_zp, a1.a_bit, c1.gq)
         # fused Pallas epilogue: int32 -> (+temb) -> GN2 -> swish -> int8
         if dot_bf16:
             ones1, zeros1 = _identity_epi(c1)
             hq2 = epilogue_gn_swish_quant(
-                _predequant_bf16(dot1, c1), ones1, zeros1, tproj,
+                _conv3_bf16(hq, c1.act_zp, a1.a_bit, c1, conv_pallas=conv_pallas),
+                ones1, zeros1, tproj,
                 p["norm2"]["scale"], p["norm2"]["bias"],
                 c2.act_scale, c2.act_zp, a2.a_bit,
             )
+            dot2 = _conv3_bf16(hq2, c2.act_zp, a2.a_bit, c2, conv_pallas=conv_pallas)
         else:
+            dot1 = int8_conv3_qzero(hq, c1.act_zp, a1.a_bit, c1.gq)
             hq2 = epilogue_gn_swish_quant(
                 dot1, c1.inv_ws, c1.zcbias, tproj,
                 p["norm2"]["scale"], p["norm2"]["bias"],
                 c2.act_scale, c2.act_zp, a2.a_bit,
             )
-        dot2 = int8_conv3_qzero(hq2, c2.act_zp, a2.a_bit, c2.gq)
+            dot2 = int8_conv3_qzero(hq2, c2.act_zp, a2.a_bit, c2.gq)
         h = None  # exit handled below (possibly fused with the residual add)
     else:
         # uncovered conv (shape-ineligible, e.g. C not a multiple of 128) —
@@ -530,7 +556,7 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
             if dot_bf16:
                 ones2, zeros2 = _identity_epi(c2)
                 res_out, sums = epilogue_residual_gn_stats(
-                    _predequant_bf16(dot2, c2), ones2, zeros2,
+                    dot2, ones2, zeros2,  # dot2 is already pre-dequantized bf16
                     x_sc.astype(jnp.float32), out_dtype=res_dtype,
                 )
             else:
@@ -539,7 +565,10 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
                     out_dtype=res_dtype,
                 )
             return res_out, sums
-        h = _epilogue(dot2, c2, co2)
+        if dot_bf16:  # identity dequant: dot2 already carries inv_ws + zcbias
+            h = dot2.astype(jnp.float32)[..., :co2]
+        else:
+            h = _epilogue(dot2, c2, co2)
     return (x_sc + h).astype(res_dtype), None
 
 
@@ -711,6 +740,7 @@ def serving_unet_apply(
     boundary_fusion: bool = False,
     dot_bf16: bool = True,
     entry_pallas: bool = False,
+    conv_pallas: bool = False,
     mp_states=None,
     mp_base_bits: int = 8,
 ) -> jax.Array:
@@ -774,7 +804,7 @@ def serving_unet_apply(
                 f"down.{i_level}.block.{i_block}", lp["block"][i_block], hs[-1],
                 temb, rt_i, qunet, qstates, step_idx, residual_dtype,
                 entry_sums=sums, want_exit_stats=want, dot_bf16=dot_bf16,
-                entry_pallas=entry_pallas,
+                entry_pallas=entry_pallas, conv_pallas=conv_pallas,
             )
             if lp["attn"]:
                 h = attn_site(f"down.{i_level}.attn.{i_block}", lp["attn"][i_block], h)
@@ -804,11 +834,12 @@ def serving_unet_apply(
     h = hs[-1]
     h, _ = _resblock_fused("mid.block_1", params["mid"]["block_1"], h, temb, rt_i,
                            qunet, qstates, step_idx, residual_dtype, entry_sums=sums,
-                           dot_bf16=dot_bf16, entry_pallas=entry_pallas)
+                           dot_bf16=dot_bf16, entry_pallas=entry_pallas,
+                           conv_pallas=conv_pallas)
     h = attn_site("mid.attn_1", params["mid"]["attn_1"], h)
     h, _ = _resblock_fused("mid.block_2", params["mid"]["block_2"], h, temb, rt_i,
                            qunet, qstates, step_idx, residual_dtype, dot_bf16=dot_bf16,
-                           entry_pallas=entry_pallas)
+                           entry_pallas=entry_pallas, conv_pallas=conv_pallas)
 
     for i_level in reversed(range(num_levels)):
         lp = params["up"][i_level]
@@ -818,6 +849,7 @@ def serving_unet_apply(
                 jnp.concatenate([h, hs.pop()], axis=-1),
                 temb, rt_i, qunet, qstates, step_idx, residual_dtype,
                 dot_bf16=dot_bf16, entry_pallas=entry_pallas,
+                conv_pallas=conv_pallas,
             )
             if lp["attn"]:
                 h = attn_site(f"up.{i_level}.attn.{i_block}", lp["attn"][i_block], h)
@@ -886,6 +918,7 @@ def serving_ddim_sampler(
     boundary_fusion: bool = False,
     dot_bf16: bool = True,
     entry_pallas: bool = False,
+    conv_pallas: bool = False,
     pack_int4: bool = False,
     rank1: bool = False,
     update: str = "ddim",
@@ -963,7 +996,8 @@ def serving_ddim_sampler(
                 p_, qunet.cfg, qunet, rt_, qs_, xt, jnp.full((n,), t_i, jnp.float32),
                 idx, residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=ar_,
                 boundary_fusion=boundary_fusion, dot_bf16=dot_bf16,
-                entry_pallas=entry_pallas, mp_states=mp_, mp_base_bits=mp_base_bits,
+                entry_pallas=entry_pallas, conv_pallas=conv_pallas,
+                mp_states=mp_, mp_base_bits=mp_base_bits,
             )
             from ..diffusion.sampling import ddim_step, ddpm_step
 
@@ -1033,6 +1067,7 @@ def serving_model_fn(
     boundary_fusion: bool = False,
     dot_bf16: bool = True,
     entry_pallas: bool = False,
+    conv_pallas: bool = False,
     mp_states=None,
     mp_base_bits: int = 8,
 ):
@@ -1043,7 +1078,8 @@ def serving_model_fn(
             params, qunet.cfg, qunet, runtime, qstates, x, t, step_idx,
             residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=attn_ranges,
             boundary_fusion=boundary_fusion, dot_bf16=dot_bf16,
-            entry_pallas=entry_pallas, mp_states=mp_states, mp_base_bits=mp_base_bits,
+            entry_pallas=entry_pallas, conv_pallas=conv_pallas,
+            mp_states=mp_states, mp_base_bits=mp_base_bits,
         )
 
     return fn

@@ -34,31 +34,64 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 INT8_PEAK_TOPS = 394e12
 
 
-def time_loop(step_fn, args, label, flops, reps=5, max_n=65536):
-    """Paired-length fori_loop timing (methodology of conv_roofline.time_site):
-    full-output reduction carry, carry-dependent input XOR, traced bound,
-    median of adjacent T(2N)-T(N) pairs."""
+_NULL_RPC = [None]
 
-    def run(n, *ops):
-        def body(_i, s):
-            x = jnp.bitwise_xor(ops[0], (s & 7).astype(ops[0].dtype))
-            return step_fn(x, *ops[1:]).sum(dtype=jnp.int32)
 
-        return jax.lax.fori_loop(0, n, body, jnp.int32(1))
+def _null_rpc():
+    """Median wall time of a cached trivial call — the per-call relay floor."""
+    if _NULL_RPC[0] is None:
+        f = jax.jit(lambda x: x + 1)
+        one = jnp.int32(1)
+        int(f(one))
+        ts = sorted(
+            (lambda t0: (int(f(one)), time.perf_counter() - t0)[1])(time.perf_counter())
+            for _ in range(7)
+        )
+        _NULL_RPC[0] = ts[len(ts) // 2]
+        print(f"null RPC floor: {_NULL_RPC[0]*1e3:.1f} ms", flush=True)
+    return _NULL_RPC[0]
 
-    f = jax.jit(run)
 
-    def T(n):
+def time_loop(step_fn, args, label, flops, reps=5, sum_dtype=jnp.int32):
+    """Static-length chained-scan timing with null-RPC subtraction.
+
+    The dynamic-bound fori_loop of the roofline tool stopped compiling
+    through the relay mid-round (remote-compile hangs on while-loops while
+    static scans compile in ~1 min), so probes use STATIC scan lengths:
+    a pilot at N=64 sizes a second length so the measured segment is
+    >= 0.5 s of actual compute (the ~25 ms relay floor becomes <5% and is
+    subtracted explicitly).  Costs <= 2 compiles per shape."""
+
+    def make(length):
+        def run(*ops):
+            def body(s, _):
+                if jnp.issubdtype(ops[0].dtype, jnp.integer):
+                    x = jnp.bitwise_xor(ops[0], (s & 7).astype(ops[0].dtype))
+                else:
+                    x = ops[0] + (s % 3).astype(ops[0].dtype)
+                return step_fn(x, *ops[1:]).sum(dtype=sum_dtype), None
+
+            out, _ = jax.lax.scan(body, sum_dtype(1), None, length=length)
+            return out
+
+        return jax.jit(run)
+
+    rpc = _null_rpc()
+
+    def T(f):
         t0 = time.perf_counter()
-        int(f(jnp.int32(n), *args))
+        float(f(*args))
         return time.perf_counter() - t0
 
-    T(8)
-    rpc = min(T(0) for _ in range(3))
-    t_est = max((min(T(32) for _ in range(2)) - rpc) / 32, 1e-7)
-    N = int(np.clip(0.08 / t_est, 32, max_n))
-    diffs = sorted(max(T(2 * N) - T(N), 1e-9) for _ in range(reps))
-    t = diffs[len(diffs) // 2] / N
+    f0 = make(64)
+    T(f0)  # compile
+    t0 = max(min(T(f0) for _ in range(2)) - rpc, 1e-6) / 64
+    N = int(np.clip(0.5 / t0, 64, 65536))
+    f1 = f0 if N <= 96 else make(N)
+    if f1 is not f0:
+        T(f1)  # compile
+    ts = sorted(max(T(f1) - rpc, 1e-9) for _ in range(reps))
+    t = ts[len(ts) // 2] / N
     print(f"{label:52s} {t*1e6:9.1f} us  ({flops/t/1e12:6.1f} TOPS, "
           f"{flops/t/INT8_PEAK_TOPS*100:4.1f}% MFU, N={N})", flush=True)
     return t
@@ -105,46 +138,56 @@ def probe_dot_bf16(M, K, N):
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    def run(n, a, b):
-        def body(_i, s):
-            x = a + (s & 1).astype(jnp.bfloat16)
-            return step(x, b).sum(dtype=jnp.float32)
+    time_loop(step, (a, b), f"dot  [{M},{K}]x[{K},{N}] bf16", flops,
+              sum_dtype=jnp.float32)
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(1))
 
-    f = jax.jit(run)
+def probe_pallas(B, res, C, N_out):
+    from ..ops.pallas_conv import int8_conv3_pallas
 
-    def T(n):
-        t0 = time.perf_counter()
-        float(f(jnp.int32(n), a, b))
-        return time.perf_counter() - t0
+    key = jax.random.PRNGKey(0)
+    xp = jax.random.randint(key, (B, res + 2, res + 2, C), -128, 128, jnp.int8)
+    gq = jax.random.randint(jax.random.PRNGKey(1), (9 * C, N_out), -8, 8, jnp.int8)
+    inv_ws = jnp.full((N_out,), 1e-2)
+    zcb = jnp.zeros((N_out,))
+    flops = 2.0 * B * res * res * 9 * C * N_out
 
-    T(8)
-    rpc = min(T(0) for _ in range(3))
-    t_est = max((min(T(32) for _ in range(2)) - rpc) / 32, 1e-7)
-    N_ = int(np.clip(0.08 / t_est, 32, 65536))
-    diffs = sorted(max(T(2 * N_) - T(N_), 1e-9) for _ in range(5))
-    t = diffs[len(diffs) // 2] / N_
-    print(f"{'dot  [%d,%d]x[%d,%d] bf16' % (M, K, K, N):52s} {t*1e6:9.1f} us  "
-          f"({flops/t/1e12:6.1f} TFLOPS, N={N_})", flush=True)
+    def step(x, g, s, b):
+        return int8_conv3_pallas(x, g, s, b, out_dtype=jnp.bfloat16)
+
+    time_loop(step, (xp, gq, inv_ws, zcb),
+              f"pallas-conv3 B{B} {res}x{res} {C}->{N_out} (bf16 out)", flops,
+              sum_dtype=jnp.float32)
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parts", default="dot,batch,pallas,bf16")
+    args = ap.parse_args()
+    parts = args.parts.split(",")
     print(jax.devices())
-    print("\n-- A: batch scaling of the worst audit shapes (XLA int8 conv) --")
-    for B in (128, 256, 512):
-        probe_conv(B, 16, 256, 256)
-    for B in (128, 256):
-        probe_conv(B, 8, 256, 256)
-        probe_conv(B, 32, 128, 128)
-    print("\n-- B: raw int8 dot at the im2col geometries --")
-    probe_dot(128 * 16 * 16, 9 * 256, 256)   # conv3 16^2 256->256 @ B128
-    probe_dot(256 * 16 * 16, 9 * 256, 256)   # ... @ B256
-    probe_dot(128 * 32 * 32, 9 * 128, 128)   # conv3 32^2 128->128 @ B128
-    probe_dot(256 * 32 * 32, 9 * 128, 128)   # the r2 microbench geometry
-    probe_dot(128 * 16 * 16, 2304, 2304)     # square-ish control
-    print("\n-- control: bf16 dot ceiling at one geometry --")
-    probe_dot_bf16(128 * 16 * 16, 2304, 256)
+    if "dot" in parts:
+        print("\n-- raw int8 dot at the im2col geometries --", flush=True)
+        probe_dot(128 * 16 * 16, 9 * 256, 256)   # conv3 16^2 256->256 @ B128
+        probe_dot(128 * 32 * 32, 9 * 128, 128)   # conv3 32^2 128->128 @ B128
+        probe_dot(256 * 32 * 32, 9 * 128, 128)   # the r2 microbench geometry
+        probe_dot(128 * 16 * 16, 2304, 2304)     # square-ish control
+    if "batch" in parts:
+        print("\n-- batch scaling of the worst audit shapes (XLA conv) --", flush=True)
+        for B in (128, 256):
+            probe_conv(B, 16, 256, 256)
+            probe_conv(B, 32, 128, 128)
+    if "pallas" in parts:
+        print("\n-- Pallas implicit-im2col conv (ops/pallas_conv.py) --", flush=True)
+        probe_pallas(128, 16, 256, 256)
+        probe_pallas(128, 32, 128, 128)
+        probe_pallas(128, 8, 256, 256)
+        probe_pallas(128, 4, 256, 256)
+    if "bf16" in parts:
+        print("\n-- control: bf16 dot ceiling --", flush=True)
+        probe_dot_bf16(128 * 16 * 16, 2304, 256)
 
 
 if __name__ == "__main__":

@@ -537,9 +537,16 @@ def main():
                          "_gptq_refine_shared); requires --adaround")
     ap.add_argument("--bits", type=str, default=None,
                     help="restrict bit configs, e.g. '8:8,4:8' (default: 8:8, 6:6, 4:8)")
+    ap.add_argument("--config", type=str, default=None,
+                    help="config YAML overriding the CIFAR-10 UNetConfig "
+                         "(e.g. celeba.yml — second-family quality ladder)")
     args = ap.parse_args()
 
     cfg = UNetConfig()
+    if args.config:
+        from ..config import load_config
+
+        cfg = UNetConfig.from_config(load_config(args.config))
     params = unet_init(jax.random.PRNGKey(0), cfg)
     weights = "random-init"
     if args.ckpt:

@@ -78,12 +78,15 @@ def sweep(config_name: str, timesteps: int, batches, step_chunks,
         for ck in step_chunks:
             try:
                 # 'shared' = rank-1 step-shared fold (quant/rank1.py): fold
-                # HBM is params-sized at ANY schedule length, no chunking
+                # HBM is params-sized at ANY schedule length, no chunking;
+                # 'packed' = fold-once with int4-packed weights (HBM halved
+                # at w_bit<=4, unpack on the fly — VERDICT r4 item #4)
                 s = serving_ddim_sampler(
                     qunet, params, qstates, seq, sched.betas,
                     residual_dtype=jnp.bfloat16, attn_int8=attn_int8,
-                    step_chunk=None if ck == "shared" else ck,
+                    step_chunk=ck if isinstance(ck, int) else None,
                     rank1=(ck == "shared"),
+                    pack_int4=(ck == "packed"),
                     runtime=shared_rt if ck is None else None,
                 )
                 x = jax.random.normal(jax.random.PRNGKey(seed + 2), (B, R, R, 3))
@@ -134,7 +137,8 @@ def main(argv=None):
                    help="comma-separated batch sizes")
     p.add_argument("--step_chunks", default="none",
                    help="comma-separated chunk sizes; 'none' = fold-once; "
-                        "'shared' = rank-1 step-shared fold (params-sized)")
+                        "'shared' = rank-1 step-shared fold (params-sized); "
+                        "'packed' = fold-once int4-packed (HBM halved)")
     p.add_argument("--bitwidth", type=int, default=4)
     p.add_argument("--a_bitwidth", type=int, default=8)
     p.add_argument("--skip_type", default="quad")
@@ -143,7 +147,8 @@ def main(argv=None):
     a = p.parse_args(argv)
     batches = [int(b) for b in a.batches.split(",")]
     chunks = [None if c.strip().lower() in ("none", "0")
-              else ("shared" if c.strip().lower() == "shared" else int(c))
+              else (c.strip().lower() if c.strip().lower() in ("shared", "packed")
+                    else int(c))
               for c in a.step_chunks.split(",")]
     sweep(a.config, a.timesteps, batches, chunks, w_bit=a.bitwidth,
           a_bit=a.a_bitwidth, skip_type=a.skip_type, reps=a.reps,

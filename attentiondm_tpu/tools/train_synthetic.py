@@ -105,8 +105,18 @@ def main():
                          "natural statistics (1/f^alpha spectrum, opponent-"
                          "color covariance, lognormal contrast — realistic "
                          "activation outliers for the quality protocol)")
+    ap.add_argument("--config", type=str, default=None,
+                    help="config YAML overriding the CIFAR-10 UNetConfig "
+                         "(e.g. celeba.yml for the 64px quality ladder)")
     args = ap.parse_args()
+    cfg = None
+    if args.config:
+        from ..config import load_config
+        from ..models import UNetConfig
+
+        cfg = UNetConfig.from_config(load_config(args.config))
     train(
+        cfg=cfg,
         steps=args.steps,
         batch=args.batch,
         lr=args.lr,

@@ -523,6 +523,44 @@ def test_dot_bf16_close_to_int32_epilogue():
     assert np.isfinite(rel) and rel < 0.05, rel
 
 
+def test_conv_pallas_close_to_xla_conv():
+    """`conv_pallas` routes the fused resblock 3x3 convs through the
+    implicit-im2col Pallas kernel (ops/pallas_conv.py) with the dequant
+    epilogue fused to bf16 — it must be taken at an eligible shape, stay at
+    bf16-rounding distance from the XLA conv path, and compose with the
+    bf16 residual stream through the sampler (its shipping configuration)."""
+    from attentiondm_tpu.ops.pallas_conv import conv3_pallas_fits
+
+    cfg, params, qunet, qstates, xs, _ = _setup()
+    assert conv3_pallas_fits(2, 8, 8, 128, 128)
+    runtime = prepare_serving_runtime(qunet, params, qstates)
+    x = xs[0]
+    t = jnp.full((2,), 5.0)
+    base = serving_model_fn(
+        qunet, runtime, params, qstates, attn_int8=False, dot_bf16=True
+    )(x, t, jnp.asarray(0))
+    fast = serving_model_fn(
+        qunet, runtime, params, qstates, attn_int8=False, dot_bf16=True,
+        conv_pallas=True,
+    )(x, t, jnp.asarray(0))
+    rel = float(jnp.abs(fast - base).mean() / (jnp.abs(base).mean() + 1e-9))
+    assert np.isfinite(rel) and rel < 0.02, rel
+
+    from attentiondm_tpu.diffusion import DiffusionSchedule
+
+    sched = DiffusionSchedule.create("linear", 1e-4, 0.02, 1000)
+    seq = [0, 500]
+    a = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas,
+                             attn_int8=False,
+                             residual_dtype=jnp.bfloat16)(x)
+    b = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas,
+                             attn_int8=False, conv_pallas=True,
+                             residual_dtype=jnp.bfloat16)(x)
+    rel = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).mean()
+                / (jnp.abs(a.astype(jnp.float32)).mean() + 1e-9))
+    assert np.isfinite(rel) and rel < 0.05, rel
+
+
 def test_entry_pallas_close_to_xla_entry(monkeypatch):
     """`entry_pallas` routes resblock/conv GN entries through the one-pass
     Pallas kernel (ops/fused_gn.gn_act_quant) — numerics must stay at
