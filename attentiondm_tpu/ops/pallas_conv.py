@@ -57,7 +57,7 @@ def conv3_pallas_fits(B: int, H: int, W: int, Cp: int, Np: int) -> bool:
     )
 
 
-def _kernel(x_ref, g_ref, s_ref, b_ref, o_ref, *, H, W, Cp, Np, Bt, out_dtype):
+def _kernel(x_ref, g_ref, sb_ref, o_ref, *, H, W, Cp, Np, Bt, out_dtype):
     m = Bt * H * W
     acc = jnp.zeros((m, Np), jnp.int32)
     for dy in range(3):
@@ -71,7 +71,9 @@ def _kernel(x_ref, g_ref, s_ref, b_ref, o_ref, *, H, W, Cp, Np, Bt, out_dtype):
     if out_dtype == jnp.int32:
         o_ref[:] = acc.reshape(Bt, H, W, Np)
     else:
-        out = acc.astype(jnp.float32) * s_ref[:] + b_ref[:]
+        # sb row 0 = inv_ws, row 1 = zcbias (the (2, C) per-channel-vector
+        # layout the other Pallas kernels in ops/ use)
+        out = acc.astype(jnp.float32) * sb_ref[0:1, :] + sb_ref[1:2, :]
         o_ref[:] = out.astype(out_dtype).reshape(Bt, H, W, Np)
 
 
@@ -104,8 +106,7 @@ def int8_conv3_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * Cp, Np), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Np,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Np,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Np), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Bt, H, W, Np), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -116,4 +117,5 @@ def int8_conv3_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, gq_flat, inv_ws.astype(jnp.float32), zcbias.astype(jnp.float32))
+    )(xp, gq_flat,
+      jnp.stack([inv_ws.astype(jnp.float32), zcbias.astype(jnp.float32)]))

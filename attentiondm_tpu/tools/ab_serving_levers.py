@@ -41,6 +41,8 @@ STEPS = 100
 REPS = 3
 
 VARIANTS = {
+    # NOTE: dot_bf16 has been default-ON since the round-4 grid — "base" is
+    # the shipping config; "no_dot_bf16" re-checks the r4 decision.
     "base": dict(),
     "dot_bf16": dict(dot_bf16=True),
     "entry_pallas": dict(entry_pallas=True),
@@ -48,10 +50,24 @@ VARIANTS = {
     "bf": dict(boundary_fusion=True),
     "bf+dot_bf16": dict(boundary_fusion=True, dot_bf16=True),
     "bf+both": dict(boundary_fusion=True, dot_bf16=True, entry_pallas=True),
+    # round-5: the implicit-im2col Pallas conv kernel (ops/pallas_conv.py)
+    "conv_pallas": dict(conv_pallas=True),
+    "no_dot_bf16": dict(dot_bf16=False),
 }
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset of VARIANTS (default: all); "
+                         "'base' is always included")
+    args = ap.parse_args()
+    global VARIANTS
+    if args.variants:
+        keep = {"base"} | set(args.variants.split(","))
+        VARIANTS = {k: v for k, v in VARIANTS.items() if k in keep}
     from ..diffusion import DiffusionSchedule, ddim_sample, make_timestep_seq
     from ..models import UNetConfig, unet_apply, unet_init
     from ..quant import QuantizedUNet, calibrate_ranges

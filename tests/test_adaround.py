@@ -22,6 +22,9 @@ from attentiondm_tpu.quant.adaround import (
 )
 from attentiondm_tpu.quant.int8_serving import prepare_serving_runtime, serving_model_fn
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _setup(w_bit=4, a_bit=8, ch=128, res=8, steps=2):
     cfg = UNetConfig(

@@ -16,6 +16,9 @@ import sys
 
 import pytest
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = os.path.join(_REPO, "tests", "mp_smoke_worker.py")
 

@@ -9,6 +9,10 @@ import numpy as np
 
 from attentiondm_tpu.quant.gptq import _gptq_opt, gptq_offsets
 from attentiondm_tpu.quant.adaround import ConvStats
+import pytest
+
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def _grid(g, shrink, w_bit):

@@ -17,6 +17,9 @@ import jax.numpy as jnp
 from attentiondm_tpu.eval.inception import inception_apply, load_torch_inception
 from tests.torch_inception_oracle import TorchFIDInception, randomize_
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def oracle_and_params(tmp_path_factory):

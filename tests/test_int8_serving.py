@@ -13,6 +13,9 @@ from attentiondm_tpu.quant.int8_serving import (
     serving_model_fn,
 )
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _setup(ch=128, attn=(8,), res=8, steps=2):
     """Tiny UNet with 128-channel convs so the fused resblock branch runs."""

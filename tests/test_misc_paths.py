@@ -12,6 +12,9 @@ from attentiondm_tpu.runners import Diffusion
 from attentiondm_tpu.config import load_config
 from attentiondm_tpu.data import data_transform
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_interpolation_flag(tmp_path):
     config = tiny_config(tmp_path)

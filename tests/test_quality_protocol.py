@@ -14,6 +14,9 @@ import pytest
 from attentiondm_tpu.models import UNetConfig, unet_init
 from attentiondm_tpu.tools.quality_protocol import format_table, run_protocol
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = dict(
     ch=64, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,),
     resolution=16, dropout=0.0,

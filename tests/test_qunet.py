@@ -14,6 +14,9 @@ from attentiondm_tpu.quant import (
 )
 from attentiondm_tpu.diffusion import DiffusionSchedule, ddim_sample, make_timestep_seq
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     ch=32,
     out_ch=3,

@@ -24,6 +24,9 @@ from attentiondm_tpu.quant.int8_serving import (
 )
 from attentiondm_tpu.quant.rank1 import rank1_factors, rank1_scale_zp
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _setup(w_bit=4, a_bit=8, steps=3):
     cfg = UNetConfig(

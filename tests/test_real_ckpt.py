@@ -9,6 +9,9 @@ import pytest
 
 from attentiondm_tpu.tools.real_ckpt import find_real_assets, verify_md5
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_find_real_assets_discovers_supplied_files(tmp_path):
     (tmp_path / "sub").mkdir()

@@ -8,6 +8,9 @@ import pytest
 from attentiondm_tpu.config import dict2namespace
 from attentiondm_tpu.runners import Diffusion
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def tiny_config(tmp, n_timesteps=20):
     return dict2namespace(

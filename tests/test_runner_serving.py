@@ -13,6 +13,9 @@ from attentiondm_tpu.runners import Diffusion
 
 from test_runner import make_args as _base_args, tiny_config
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def make_args(tmp, **kw):
     d = dict(

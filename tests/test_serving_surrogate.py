@@ -14,6 +14,10 @@ from attentiondm_tpu.quant.calibrate import (
     serving_surrogate_apply,
 )
 from attentiondm_tpu.quant.int8_serving import prepare_serving_runtime, serving_model_fn
+import pytest
+
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def _setup(w_bit=4, a_bit=8, steps=2):

@@ -10,6 +10,10 @@ import numpy as np
 from attentiondm_tpu.models import UNetConfig, unet_init, unet_apply
 from attentiondm_tpu.quant import QuantizedUNet, calibrate_ranges
 from attentiondm_tpu.quant.calibrate import calibrate_teacher_matched
+import pytest
+
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def _setup(w_bit=6, a_bit=6, ch=64, res=8, steps=3):

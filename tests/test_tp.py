@@ -21,6 +21,9 @@ from attentiondm_tpu.parallel import (
 )
 from attentiondm_tpu.training import init_train_state, make_sharded_train_step
 
+# multi-minute integration file (r5 fast lane: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _cfg(attn_variant="ddim"):
     # ch=128 like the flagship so column/row splits are 32-channel shards at
