@@ -483,6 +483,32 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
 
     hf = h_res.astype(jnp.float32)
     fused = c1 is not None and c2 is not None and c1.zcbias.shape[-1] == co1
+
+    # whole-resblock mega-kernel (ops/pallas_resblock.py): identity-residual
+    # blocks run GN1->conv1->+temb->GN2->conv2->+r in ONE Pallas program —
+    # one HBM read, one write.  Shortcut blocks / boundary-fusion callers
+    # keep the unfused chain.
+    if (
+        fused and dot_bf16 and conv_pallas
+        and entry_sums is None and not want_exit_stats
+        and "conv_shortcut" not in p and "nin_shortcut" not in p
+        and h_res.shape[-1] == co1 == co2
+        and c1.gq.shape[-1] == co1 and c2.gq.shape[-1] == co2
+    ):
+        from ..ops.pallas_resblock import resblock_pallas, resblock_pallas_fits
+
+        B_, H_, W_, C_ = h_res.shape
+        if resblock_pallas_fits(B_, H_, W_, C_):
+            out = resblock_pallas(
+                h_res, tproj,
+                p["norm1"]["scale"], p["norm1"]["bias"],
+                (c1.act_scale, c1.act_zp), c1.gq, (c1.inv_ws, c1.zcbias),
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                (c2.act_scale, c2.act_zp), c2.gq, (c2.inv_ws, c2.zcbias),
+                a_bit1=a1.a_bit, a_bit2=a2.a_bit, out_dtype=res_dtype,
+            )
+            return out, None
+
     dot2 = None
     if fused:
         (hq,) = _entry_gn_quant(h_res, p["norm1"], [(c1.act_scale, c1.act_zp, a1.a_bit)],
