@@ -57,6 +57,22 @@ def conv3_pallas_fits(B: int, H: int, W: int, Cp: int, Np: int) -> bool:
     )
 
 
+def conv3_pallas_wins(B: int, H: int, W: int, Cp: int, Np: int) -> bool:
+    """MEASURED per-shape routing policy (real chip, B128 serving census —
+    tools/conv_attack_probe.py --parts census, benchmarks/conv_census_r5.log).
+
+    Paired same-process A/B over all 12 conv3 shapes of the headline step:
+    the kernel beats XLA's int8 conv lowering 1.15-1.7x on every shape with
+    enough MXU work per tap — it loses only on (Cp=128, Np=128), where the
+    9 narrow 128x128 dots underfill the MXU (239 vs 165 us at 32^2), and at
+    4^2 with Cp<512, where M=B*16 is too small to amortize the dispatch
+    (16.2 vs 13.0 us).  Routed total over the census: 7.04 -> 5.39 ms
+    (23.5% of the conv core).  Callers route `fits and wins`."""
+    if H < 8 or W < 8:
+        return Cp >= 512 and Np >= 256
+    return not (Cp == 128 and Np == 128)
+
+
 def _kernel(x_ref, g_ref, sb_ref, o_ref, *, H, W, Cp, Np, Bt, out_dtype):
     m = Bt * H * W
     acc = jnp.zeros((m, Np), jnp.int32)

@@ -96,7 +96,7 @@ def _kernel(r_ref, tp_ref, oh_ref, gn1_ref, q1_ref, g1_ref, sb1_ref,
 
     acc = _taps(pad1, g1_ref, m, H, W, C)
     h = acc.astype(jnp.float32) * sb1_ref[0:1, :] + sb1_ref[1:2, :]
-    h = h.reshape(Bt, H * W, C) + tp_ref[:][:, None, :]
+    h = h.reshape(Bt, H * W, C) + tp_ref[:]  # tp block [Bt, 1, C] broadcasts
 
     h = _gn_normalize(h, oh, inv_count, gn2_ref[0:1, :], gn2_ref[1:2, :])
     h = h * jax.nn.sigmoid(h)
@@ -150,7 +150,10 @@ def resblock_pallas(
         in_specs=[
             pl.BlockSpec((Bt, H, W, C), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # [B, 1, C] so the block's LAST TWO dims are (1, C) — Mosaic
+            # requires them divisible by (8, 128) or equal to the array dims,
+            # and Bt can drop below 8 at the small-spatial levels
+            pl.BlockSpec((Bt, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
             vec(), vec(),
             pl.BlockSpec((9 * C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -172,7 +175,7 @@ def resblock_pallas(
         ),
         interpret=interpret,
     )(
-        r, tproj.astype(jnp.float32), onehot,
+        r, tproj.astype(jnp.float32)[:, None, :], onehot,
         _pc(gn1_scale, gn1_bias), _pc(*q1), g1_flat, _pc(*sb1),
         _pc(gn2_scale, gn2_bias), _pc(*q2), g2_flat, _pc(*sb2),
     )

@@ -418,21 +418,34 @@ def _identity_epi(lay_i: ServingLayer):
     return jnp.ones_like(lay_i.inv_ws), jnp.zeros_like(lay_i.zcbias)
 
 
-def _conv3_bf16(xq, zp, a_bit, lay_i: ServingLayer, *, conv_pallas: bool):
+def _conv3_bf16(xq, zp, a_bit, lay_i: ServingLayer, *, conv_pallas):
     """3x3 int8 conv -> pre-dequantized bf16 (the dot_bf16 layout).
 
     `conv_pallas` routes through the implicit-im2col Pallas kernel
-    (ops/pallas_conv.py) when the shape fits: the 9 taps run as MXU matmuls
-    from one VMEM-resident input tile and the dequant+bias epilogue is fused
-    so the int32 accumulator never exists in HBM.  Falls back to the XLA
-    conv (whose own output fusion absorbs `_predequant_bf16`) otherwise."""
+    (ops/pallas_conv.py) when the shape fits AND the measured per-shape
+    policy says the kernel beats XLA there (conv3_pallas_wins — 1.5-1.6x on
+    Np>=256 res>=8 shapes; XLA keeps the Np=128 and 4^2 shapes it wins):
+    the 9 taps run as MXU matmuls from one VMEM-resident input tile and the
+    dequant+bias epilogue is fused so the int32 accumulator never exists in
+    HBM.  Falls back to the XLA conv (whose own output fusion absorbs
+    `_predequant_bf16`) otherwise.
+
+    `conv_pallas` is False (off), True (measured per-shape routing), "all"
+    (route every VMEM-eligible shape — tests / re-measurement), or an
+    explicit collection of (H, Cp, Np) triples (surgical in-graph A/B of a
+    single shape)."""
     if conv_pallas:
-        from ..ops.pallas_conv import conv3_pallas_fits, int8_conv3_pallas
+        from ..ops.pallas_conv import (
+            conv3_pallas_fits, conv3_pallas_wins, int8_conv3_pallas)
 
         B, H, W, C = xq.shape
         Cp = lay_i.gq.shape[0] // 9
         Np = lay_i.gq.shape[-1]
-        if conv3_pallas_fits(B, H, W, Cp, Np):
+        if isinstance(conv_pallas, (tuple, list, set, frozenset)):
+            route = (H, Cp, Np) in set(map(tuple, conv_pallas))
+        else:
+            route = conv_pallas == "all" or conv3_pallas_wins(B, H, W, Cp, Np)
+        if conv3_pallas_fits(B, H, W, Cp, Np) and route:
             xp = _pad_qzero(xq, zp, a_bit)
             if Cp != C:
                 xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
@@ -463,7 +476,7 @@ def _entry_gn_quant(h_res, gn_p, quant_params, *, sums=None, entry_pallas=False)
 
 def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, res_dtype,
                     entry_sums=None, want_exit_stats=False, dot_bf16=False,
-                    entry_pallas=False, conv_pallas=False):
+                    entry_pallas=False, conv_pallas=False, resblock_pallas=False):
     """norm1->swish->conv1->(+temb)->norm2->swish->conv2 (+shortcut), fused.
 
     Graph identical to models/unet.py::_resblock_apply (inference, no
@@ -487,19 +500,29 @@ def _resblock_fused(name, p, h_res, temb_act, rt_i, qunet, qstates, step_idx, re
     # whole-resblock mega-kernel (ops/pallas_resblock.py): identity-residual
     # blocks run GN1->conv1->+temb->GN2->conv2->+r in ONE Pallas program —
     # one HBM read, one write.  Shortcut blocks / boundary-fusion callers
-    # keep the unfused chain.
+    # keep the unfused chain.  Own lever (`resblock_pallas`, independent of
+    # the per-conv routing) so the A/B grid can separate the glue saving
+    # from the conv-rate change.
     if (
-        fused and dot_bf16 and conv_pallas
+        fused and dot_bf16 and resblock_pallas
         and entry_sums is None and not want_exit_stats
         and "conv_shortcut" not in p and "nin_shortcut" not in p
         and h_res.shape[-1] == co1 == co2
         and c1.gq.shape[-1] == co1 and c2.gq.shape[-1] == co2
     ):
-        from ..ops.pallas_resblock import resblock_pallas, resblock_pallas_fits
+        from ..ops.pallas_conv import conv3_pallas_wins
+        from ..ops.pallas_resblock import resblock_pallas_fits
+        from ..ops.pallas_resblock import resblock_pallas as _rb_kernel
 
         B_, H_, W_, C_ = h_res.shape
-        if resblock_pallas_fits(B_, H_, W_, C_):
-            out = resblock_pallas(
+        # per-shape gate: the mega-kernel's convs use the Pallas taps, so
+        # fuse only where those taps win (conv3_pallas_wins) — the glue
+        # saving cannot be assumed to cover a conv-rate LOSS (32^2 C128:
+        # -148 us/block of conv).  "all" overrides for re-measurement.
+        if resblock_pallas_fits(B_, H_, W_, C_) and (
+            resblock_pallas == "all" or conv3_pallas_wins(B_, H_, W_, C_, C_)
+        ):
+            out = _rb_kernel(
                 h_res, tproj,
                 p["norm1"]["scale"], p["norm1"]["bias"],
                 (c1.act_scale, c1.act_zp), c1.gq, (c1.inv_ws, c1.zcbias),
@@ -766,7 +789,8 @@ def serving_unet_apply(
     boundary_fusion: bool = False,
     dot_bf16: bool = True,
     entry_pallas: bool = False,
-    conv_pallas: bool = False,
+    conv_pallas: bool | str = False,
+    resblock_pallas: bool | str = False,
     mp_states=None,
     mp_base_bits: int = 8,
 ) -> jax.Array:
@@ -831,6 +855,7 @@ def serving_unet_apply(
                 temb, rt_i, qunet, qstates, step_idx, residual_dtype,
                 entry_sums=sums, want_exit_stats=want, dot_bf16=dot_bf16,
                 entry_pallas=entry_pallas, conv_pallas=conv_pallas,
+                resblock_pallas=resblock_pallas,
             )
             if lp["attn"]:
                 h = attn_site(f"down.{i_level}.attn.{i_block}", lp["attn"][i_block], h)
@@ -861,11 +886,13 @@ def serving_unet_apply(
     h, _ = _resblock_fused("mid.block_1", params["mid"]["block_1"], h, temb, rt_i,
                            qunet, qstates, step_idx, residual_dtype, entry_sums=sums,
                            dot_bf16=dot_bf16, entry_pallas=entry_pallas,
-                           conv_pallas=conv_pallas)
+                           conv_pallas=conv_pallas,
+                           resblock_pallas=resblock_pallas)
     h = attn_site("mid.attn_1", params["mid"]["attn_1"], h)
     h, _ = _resblock_fused("mid.block_2", params["mid"]["block_2"], h, temb, rt_i,
                            qunet, qstates, step_idx, residual_dtype, dot_bf16=dot_bf16,
-                           entry_pallas=entry_pallas, conv_pallas=conv_pallas)
+                           entry_pallas=entry_pallas, conv_pallas=conv_pallas,
+                           resblock_pallas=resblock_pallas)
 
     for i_level in reversed(range(num_levels)):
         lp = params["up"][i_level]
@@ -875,7 +902,7 @@ def serving_unet_apply(
                 jnp.concatenate([h, hs.pop()], axis=-1),
                 temb, rt_i, qunet, qstates, step_idx, residual_dtype,
                 dot_bf16=dot_bf16, entry_pallas=entry_pallas,
-                conv_pallas=conv_pallas,
+                conv_pallas=conv_pallas, resblock_pallas=resblock_pallas,
             )
             if lp["attn"]:
                 h = attn_site(f"up.{i_level}.attn.{i_block}", lp["attn"][i_block], h)
@@ -944,7 +971,8 @@ def serving_ddim_sampler(
     boundary_fusion: bool = False,
     dot_bf16: bool = True,
     entry_pallas: bool = False,
-    conv_pallas: bool = False,
+    conv_pallas: bool | str = False,
+    resblock_pallas: bool | str = False,
     pack_int4: bool = False,
     rank1: bool = False,
     update: str = "ddim",
@@ -1023,6 +1051,7 @@ def serving_ddim_sampler(
                 idx, residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=ar_,
                 boundary_fusion=boundary_fusion, dot_bf16=dot_bf16,
                 entry_pallas=entry_pallas, conv_pallas=conv_pallas,
+                resblock_pallas=resblock_pallas,
                 mp_states=mp_, mp_base_bits=mp_base_bits,
             )
             from ..diffusion.sampling import ddim_step, ddpm_step
@@ -1093,7 +1122,8 @@ def serving_model_fn(
     boundary_fusion: bool = False,
     dot_bf16: bool = True,
     entry_pallas: bool = False,
-    conv_pallas: bool = False,
+    conv_pallas: bool | str = False,
+    resblock_pallas: bool | str = False,
     mp_states=None,
     mp_base_bits: int = 8,
 ):
@@ -1105,6 +1135,7 @@ def serving_model_fn(
             residual_dtype=residual_dtype, attn_int8=attn_int8, attn_ranges=attn_ranges,
             boundary_fusion=boundary_fusion, dot_bf16=dot_bf16,
             entry_pallas=entry_pallas, conv_pallas=conv_pallas,
+            resblock_pallas=resblock_pallas,
             mp_states=mp_states, mp_base_bits=mp_base_bits,
         )
 

@@ -50,8 +50,21 @@ VARIANTS = {
     "bf": dict(boundary_fusion=True),
     "bf+dot_bf16": dict(boundary_fusion=True, dot_bf16=True),
     "bf+both": dict(boundary_fusion=True, dot_bf16=True, entry_pallas=True),
-    # round-5: the implicit-im2col Pallas conv kernel (ops/pallas_conv.py)
+    # round-5: the implicit-im2col Pallas conv kernel (ops/pallas_conv.py),
+    # measured per-shape routing (conv3_pallas_wins); "conv_pallas_all"
+    # ignores the win table (routes every eligible shape) as a control.
     "conv_pallas": dict(conv_pallas=True),
+    "conv_pallas_all": dict(conv_pallas="all"),
+    # surgical single-shape routes: quantify the in-graph custom-call
+    # boundary cost against the isolated per-shape win
+    "cp16": dict(conv_pallas=((16, 256, 256),)),
+    "cp8": dict(conv_pallas=((8, 256, 256),)),
+    # round-5: whole-resblock mega-kernel (ops/pallas_resblock.py) on
+    # identity-residual blocks — glue saving measured separately from and
+    # composed with the conv routing
+    "rb": dict(resblock_pallas=True),
+    "rb_all": dict(resblock_pallas="all"),
+    "conv_pallas+rb": dict(conv_pallas=True, resblock_pallas=True),
     "no_dot_bf16": dict(dot_bf16=False),
 }
 

@@ -65,10 +65,11 @@ def time_loop(step_fn, args, label, flops, reps=5, sum_dtype=jnp.int32):
     def make(length):
         def run(*ops):
             def body(s, _):
+                si = s if jnp.issubdtype(s.dtype, jnp.integer) else s.astype(jnp.int32)
                 if jnp.issubdtype(ops[0].dtype, jnp.integer):
-                    x = jnp.bitwise_xor(ops[0], (s & 7).astype(ops[0].dtype))
+                    x = jnp.bitwise_xor(ops[0], (si & 7).astype(ops[0].dtype))
                 else:
-                    x = ops[0] + (s % 3).astype(ops[0].dtype)
+                    x = ops[0] + (si % 3).astype(ops[0].dtype)
                 return step_fn(x, *ops[1:]).sum(dtype=sum_dtype), None
 
             out, _ = jax.lax.scan(body, sum_dtype(1), None, length=length)
@@ -97,6 +98,25 @@ def time_loop(step_fn, args, label, flops, reps=5, sum_dtype=jnp.int32):
     return t
 
 
+# full conv3 census of the B128 headline step (benchmarks/conv_roofline_r5.log),
+# (res, Cp, Np, count): the per-shape Pallas-vs-XLA decision table is measured
+# over exactly these.  4^2 shapes included to confirm the loss there.
+CENSUS = [
+    (32, 128, 128, 8),
+    (32, 256, 128, 2),
+    (32, 384, 128, 1),
+    (32, 256, 256, 1),
+    (16, 128, 256, 1),
+    (16, 256, 256, 7),
+    (16, 384, 256, 1),
+    (16, 512, 256, 2),
+    (8, 256, 256, 8),
+    (8, 512, 256, 3),
+    (4, 256, 256, 11),
+    (4, 512, 256, 3),
+]
+
+
 def probe_conv(B, res, C, N_out, k=3):
     key = jax.random.PRNGKey(0)
     xq = jax.random.randint(key, (B, res, res, C), -128, 128, jnp.int8)
@@ -110,7 +130,7 @@ def probe_conv(B, res, C, N_out, k=3):
             preferred_element_type=jnp.int32,
         )
 
-    time_loop(step, (xq, gq), f"conv3 B{B} {res}x{res} {C}->{N_out}", flops)
+    return time_loop(step, (xq, gq), f"conv3 B{B} {res}x{res} {C}->{N_out}", flops)
 
 
 def probe_dot(M, K, N):
@@ -155,9 +175,37 @@ def probe_pallas(B, res, C, N_out):
     def step(x, g, s, b):
         return int8_conv3_pallas(x, g, s, b, out_dtype=jnp.bfloat16)
 
-    time_loop(step, (xp, gq, inv_ws, zcb),
-              f"pallas-conv3 B{B} {res}x{res} {C}->{N_out} (bf16 out)", flops,
-              sum_dtype=jnp.float32)
+    return time_loop(step, (xp, gq, inv_ws, zcb),
+                     f"pallas-conv3 B{B} {res}x{res} {C}->{N_out} (bf16 out)", flops,
+                     sum_dtype=jnp.float32)
+
+
+def probe_census(B=128):
+    """Paired XLA-vs-Pallas decision table over the full conv3 census, one
+    process so chip-state drift hits both arms.  Emits the win table that
+    ops/pallas_conv.conv3_pallas_wins must encode."""
+    from ..ops.pallas_conv import conv3_pallas_fits
+
+    rows = []
+    for res, Cp, Np, cnt in CENSUS:
+        if not conv3_pallas_fits(B, res, res, Cp, Np):
+            print(f"census {res}x{res} {Cp}->{Np}: pallas ineligible (VMEM)",
+                  flush=True)
+            continue
+        t_x = probe_conv(B, res, Cp, Np)
+        t_p = probe_pallas(B, res, Cp, Np)
+        rows.append((res, Cp, Np, cnt, t_x, t_p))
+    print("\n== decision table (B%d) ==" % B, flush=True)
+    tot_x = tot_p = 0.0
+    for res, Cp, Np, cnt, t_x, t_p in rows:
+        win = "PALLAS" if t_p < t_x else "xla"
+        tot_x += cnt * t_x
+        tot_p += cnt * min(t_x, t_p)
+        print(f"{res:3d}^2 {Cp:4d}->{Np:4d} x{cnt:2d}  xla {t_x*1e6:7.1f} us  "
+              f"pallas {t_p*1e6:7.1f} us  ratio {t_x/t_p:5.2f}  -> {win}",
+              flush=True)
+    print(f"census conv total: xla {tot_x*1e3:.2f} ms -> routed {tot_p*1e3:.2f} ms "
+          f"({(1 - tot_p / tot_x) * 100:.1f}% saved)", flush=True)
 
 
 def main():
@@ -188,6 +236,10 @@ def main():
     if "bf16" in parts:
         print("\n-- control: bf16 dot ceiling --", flush=True)
         probe_dot_bf16(128 * 16 * 16, 2304, 256)
+    if "census" in parts:
+        print("\n-- paired XLA/Pallas decision table over the serving census --",
+              flush=True)
+        probe_census()
 
 
 if __name__ == "__main__":

@@ -544,7 +544,7 @@ def test_conv_pallas_close_to_xla_conv():
     )(x, t, jnp.asarray(0))
     fast = serving_model_fn(
         qunet, runtime, params, qstates, attn_int8=False, dot_bf16=True,
-        conv_pallas=True,
+        conv_pallas="all",
     )(x, t, jnp.asarray(0))
     rel = float(jnp.abs(fast - base).mean() / (jnp.abs(base).mean() + 1e-9))
     assert np.isfinite(rel) and rel < 0.02, rel
@@ -557,7 +557,7 @@ def test_conv_pallas_close_to_xla_conv():
                              attn_int8=False,
                              residual_dtype=jnp.bfloat16)(x)
     b = serving_ddim_sampler(qunet, params, qstates, seq, sched.betas,
-                             attn_int8=False, conv_pallas=True,
+                             attn_int8=False, conv_pallas="all",
                              residual_dtype=jnp.bfloat16)(x)
     rel = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).mean()
                 / (jnp.abs(a.astype(jnp.float32)).mean() + 1e-9))

@@ -80,7 +80,7 @@ def test_bf16_output_and_block_sizing():
 
 
 def test_serving_forward_takes_mega_kernel():
-    """conv_pallas on the serving forward routes identity-residual resblocks
+    """resblock_pallas on the serving forward routes identity-residual resblocks
     through the mega-kernel and stays at rounding distance from the
     unfused chain."""
     from attentiondm_tpu.models import UNetConfig, unet_init
@@ -102,6 +102,6 @@ def test_serving_forward_takes_mega_kernel():
     base = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False)(
         x, t, jnp.asarray(0))
     mega = serving_model_fn(qunet, runtime, params, qstates, attn_int8=False,
-                            conv_pallas=True)(x, t, jnp.asarray(0))
+                            resblock_pallas="all")(x, t, jnp.asarray(0))
     rel = float(jnp.abs(mega - base).mean() / (jnp.abs(base).mean() + 1e-9))
     assert np.isfinite(rel) and rel < 0.02, rel
