@@ -377,15 +377,18 @@ def run_protocol(
             )
 
             def serving_row(suffix, qs, extras, res_dtype, rank1=False):
-                sample = serving_ddim_sampler(
-                    qunet, params, qs, seq, sched.betas,
-                    residual_dtype=res_dtype, attn_int8=False,
-                    weight_extras=extras, rank1=rank1,
-                )
-                xf_s = sample(x_init)
+                # ONE fold per row, shared by the sampler and the eps scan —
+                # two private folds (S x params each) doubled the row's HBM
+                # peak and OOM'd the celeba-shape ladder mid-run
                 runtime = prepare_serving_runtime(
                     qunet, params, qs, weight_extras=extras, rank1=rank1
                 )
+                sample = serving_ddim_sampler(
+                    qunet, params, qs, seq, sched.betas,
+                    residual_dtype=res_dtype, attn_int8=False,
+                    weight_extras=extras, rank1=rank1, runtime=runtime,
+                )
+                xf_s = sample(x_init)
 
                 @functools.partial(jax.jit, static_argnums=())
                 def eps_serving(p, rt, qs_, xs):
@@ -446,6 +449,7 @@ def run_protocol(
                 )
                 serving_row("_ar_refine", qstates, extras_ps, jnp.float32)
                 serving_row("_ar_refine_bf16res", qstates, extras_ps, jnp.bfloat16)
+                del extras_ps, extras_bc  # free device buffers before GPTQ
 
                 # GPTQ rounding ladder (error-compensated rounding), alone
                 # and with the same per-step refinement on top
