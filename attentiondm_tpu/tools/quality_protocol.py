@@ -180,6 +180,7 @@ def run_protocol(
     adaround_iters: int = 600,
     stage2_teacher: bool = False,
     shared: bool = False,
+    weight_rows: str = "all",
 ):
     """Returns {row_name: {"eps_rel_mse_mean", "eps_rel_mse_max", "psnr"[, "kid"]}}.
 
@@ -245,6 +246,9 @@ def run_protocol(
         )
         if extract is not None:
             rows[name]["kid"] = kid_proxy(extract(x_final), feats_fp)
+        # incremental: a 60-90 min ladder must not lose every computed row
+        # to a late OOM/wedge (it did, twice, on the celeba-shape run)
+        print("ROW", name, json.dumps(rows[name]), flush=True)
 
     # --- bf16 compute path
     if bf16:
@@ -416,23 +420,12 @@ def run_protocol(
             if adaround:
                 # the round-3 weight-quality ladder: bias correction alone,
                 # AdaRound + bias correction, and the full combo on the
-                # teacher-matched stage-2 states
+                # teacher-matched stage-2 states.  `weight_rows` splits the
+                # ladder into independently-runnable legs ("ar" / "gptq" /
+                # "all") so a big-model run fits the chip's free HBM — the
+                # AR leg's round_offset buffers never coexist with the GPTQ
+                # Gram collection in split mode.
                 from ..quant.adaround import WeightExtras, compute_weight_extras
-
-                extras = compute_weight_extras(
-                    qunet, params, qstates, xs_cal, seq, iters=adaround_iters
-                )
-                extras_bc = {
-                    n: WeightExtras(round_offset=None, mu=e.mu)
-                    for n, e in extras.items()
-                }
-                serving_row("_bc", qstates, extras_bc, jnp.float32)
-                serving_row("_ar", qstates, extras, jnp.float32)
-                serving_row("_ar_bf16res", qstates, extras, jnp.bfloat16)
-
-                # trajectory-distilled per-step fold refinement — the W4
-                # closer: per-step out_mult/bias_delta remove the systematic
-                # per-step weight error that compounds over the free run
                 from ..quant.calibrate import refine_weight_extras
 
                 if eps_cal_ref is None:
@@ -443,14 +436,38 @@ def run_protocol(
 
                     eps_cal_ref = _cal_eps(params, xs_cal)
                 eps_cal = eps_cal_ref
-                extras_ps, _ = refine_weight_extras(
-                    qunet, params, qstates, extras, xs_cal, eps_cal, seq,
-                    per_step=True,
-                )
-                serving_row("_ar_refine", qstates, extras_ps, jnp.float32)
-                serving_row("_ar_refine_bf16res", qstates, extras_ps, jnp.bfloat16)
-                del extras_ps, extras_bc  # free device buffers before GPTQ
 
+                if weight_rows in ("all", "ar"):
+                    extras = compute_weight_extras(
+                        qunet, params, qstates, xs_cal, seq, iters=adaround_iters
+                    )
+                    extras_bc = {
+                        n: WeightExtras(round_offset=None, mu=e.mu)
+                        for n, e in extras.items()
+                    }
+                    serving_row("_bc", qstates, extras_bc, jnp.float32)
+                    serving_row("_ar", qstates, extras, jnp.float32)
+                    serving_row("_ar_bf16res", qstates, extras, jnp.bfloat16)
+
+                    # trajectory-distilled per-step fold refinement — the W4
+                    # closer: per-step out_mult/bias_delta remove the
+                    # systematic per-step weight error that compounds over
+                    # the free run
+                    extras_ps, _ = refine_weight_extras(
+                        qunet, params, qstates, extras, xs_cal, eps_cal, seq,
+                        per_step=True,
+                    )
+                    serving_row("_ar_refine", qstates, extras_ps, jnp.float32)
+                    serving_row("_ar_refine_bf16res", qstates, extras_ps,
+                                jnp.bfloat16)
+                    # free device buffers before GPTQ (extras stays alive
+                    # only if the _ar_s2srv row still needs it)
+                    del extras_ps, extras_bc
+                    if not stage2_teacher:
+                        del extras
+
+                if weight_rows not in ("all", "gptq"):
+                    continue
                 # GPTQ rounding ladder (error-compensated rounding), alone
                 # and with the same per-step refinement on top
                 extras_g = compute_weight_extras(
@@ -544,6 +561,10 @@ def main():
     ap.add_argument("--config", type=str, default=None,
                     help="config YAML overriding the CIFAR-10 UNetConfig "
                          "(e.g. celeba.yml — second-family quality ladder)")
+    ap.add_argument("--weight_rows", default="all",
+                    choices=("all", "ar", "gptq"),
+                    help="split the --adaround weight ladder into "
+                         "independently-runnable legs (big-model HBM)")
     args = ap.parse_args()
 
     cfg = UNetConfig()
@@ -571,7 +592,8 @@ def main():
         stage0=args.stage0, attribution=args.attribution, kid=args.kid,
         stage2_epochs=args.stage2_epochs,
         adaround=args.adaround, adaround_iters=args.adaround_iters,
-        stage2_teacher=args.stage2_teacher, shared=args.shared, **kw,
+        stage2_teacher=args.stage2_teacher, shared=args.shared,
+        weight_rows=args.weight_rows, **kw,
     )
     print(f"weights: {weights}; DDIM-{args.steps} ({args.skip_type}), batch {args.batch}")
     print(format_table(rows))
