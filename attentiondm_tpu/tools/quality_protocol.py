@@ -428,6 +428,14 @@ def run_protocol(
                 from ..quant.adaround import WeightExtras, compute_weight_extras
                 from ..quant.calibrate import refine_weight_extras
 
+                # Gram/AdaRound collection materializes [B*H*W, K] im2col
+                # patches per layer inside one program — cap the collection
+                # batch so the patch volume stays at the CIFAR-tuned level
+                # (the full calib_batch at 64^2 OOM'd the celeba ladder)
+                gram_b = max(1, min(calib_batch,
+                                    (calib_batch * 1024) // cfg.resolution**2))
+                xs_gram = xs_cal[:, :gram_b]
+
                 if eps_cal_ref is None:
 
                     @jax.jit
@@ -439,7 +447,7 @@ def run_protocol(
 
                 if weight_rows in ("all", "ar"):
                     extras = compute_weight_extras(
-                        qunet, params, qstates, xs_cal, seq, iters=adaround_iters
+                        qunet, params, qstates, xs_gram, seq, iters=adaround_iters
                     )
                     extras_bc = {
                         n: WeightExtras(round_offset=None, mu=e.mu)
@@ -471,7 +479,7 @@ def run_protocol(
                 # GPTQ rounding ladder (error-compensated rounding), alone
                 # and with the same per-step refinement on top
                 extras_g = compute_weight_extras(
-                    qunet, params, qstates, xs_cal, seq, method="gptq"
+                    qunet, params, qstates, xs_gram, seq, method="gptq"
                 )
                 serving_row("_gptq", qstates, extras_g, jnp.float32)
                 extras_gps, _ = refine_weight_extras(
@@ -485,7 +493,7 @@ def run_protocol(
                     # activation-scale constraint, before and after the
                     # per-step refinement that absorbs its systematic residue
                     extras_sh = compute_weight_extras(
-                        qunet, params, qstates, xs_cal, seq, method="gptq",
+                        qunet, params, qstates, xs_gram, seq, method="gptq",
                         rank1=True,
                     )
                     serving_row("_gptq_shared", qstates, extras_sh,
