@@ -149,7 +149,10 @@ def collect_conv_stats(
     stats = init_conv_stats(cfg, names, k_cap)
     want = set(stats.keys())
 
-    @jax.jit
+    # donate the stats carry: the Gram dict is GBs at 64^2/512-ch scale and
+    # carrying it in AND out doubled the collection footprint (OOM'd the
+    # celeba ladder's GPTQ stage on a chip without that headroom)
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def step(p, st, x, t):
         upd = {}
 
