@@ -413,6 +413,14 @@ def run_protocol(
 
                 eps_s = eps_serving(params, runtime, qs, xs_in)
                 add_row(f"int8_w{w_bit}a{a_bit}{suffix}", eps_s, xf_s)
+                del sample, eps_serving, runtime, xf_s, eps_s
+                # the jit wrappers sit in reference cycles, so the row's
+                # S x params fold only dies on a gen-2 GC pass — which device
+                # allocations never trigger.  Collect NOW or the next row's
+                # fold (and the GPTQ Gram stage) stacks on top of this one.
+                import gc
+
+                gc.collect()
 
             serving_row("", qstates, None, jnp.float32)
             serving_row("_bf16res", qstates, None, jnp.bfloat16)
