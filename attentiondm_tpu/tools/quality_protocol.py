@@ -118,6 +118,24 @@ def calibrate_naive_tensorwise(qunet, params, qstates, xs_in, seq):
     return new_states
 
 
+def _dump_live(tag: str) -> None:
+    """Print live-device-array census (count, GB, top shapes) — the OOM
+    debugging tool that found the ladder's hidden multi-GB retainers."""
+    try:
+        arrs = jax.live_arrays()
+    except Exception:
+        return
+    tot = sum(a.nbytes for a in arrs)
+    from collections import Counter
+
+    top = Counter()
+    for a in arrs:
+        top[(str(a.dtype), a.shape)] += a.nbytes
+    print(f"LIVE[{tag}] {len(arrs)} arrays, {tot/2**30:.2f} GiB", flush=True)
+    for (dt, sh), b in top.most_common(8):
+        print(f"  {b/2**30:6.2f} GiB  {dt} {sh}", flush=True)
+
+
 def psnr(a, b, data_range: float = 2.0) -> float:
     """PSNR between two image batches clipped to the data domain."""
     a = jnp.clip(a, -1.0, 1.0)
@@ -484,6 +502,7 @@ def run_protocol(
 
                 if weight_rows not in ("all", "gptq"):
                     continue
+                _dump_live("before gptq extras")
                 # GPTQ rounding ladder (error-compensated rounding), alone
                 # and with the same per-step refinement on top
                 extras_g = compute_weight_extras(
